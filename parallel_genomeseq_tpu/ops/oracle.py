@@ -1,0 +1,140 @@
+"""Numpy correctness oracle: textbook Smith-Waterman DP + traceback.
+
+This is the trivially-correct implementation every accelerated path is
+differentially tested against, mirroring how the reference tests its skewed
+AVX2 kernel cell-by-cell against the naive float matrix
+(reference: test/test_skewedmatrix.cpp:39-66, src/aligner/similaritymatrix.cpp:83-97).
+
+Semantics reproduced exactly:
+- recurrence H(i,j) = max(H(i-1,j-1)+s, H(i,j-1)-g, H(i-1,j)-g, 0)
+  (reference: src/aligner/similaritymatrix.cpp:49-54)
+- saturating-uint8 variant: H = max(sat(sat(nw+p)-m), sat(w-g), sat(n-g))
+  where p/m are the match/mismatch magnitudes (src/aligner/similaritymatrix.cpp:75-81)
+- argmax = first maximum in column-major traversal (Eigen maxCoeff,
+  src/aligner/similaritymatrix.cpp:21-28): smallest ref index j first, then
+  smallest read index i
+- traceback: greedy NW >= W >= N walk from the max; stops when any of the
+  three neighbors is 0; appends the stop cell's chars; pos = 1-based ref
+  index at the stop cell (src/aligner/smithwaterman.cpp:41-78)
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from ..utils.config import ScoringConfig, Semantics
+from ..utils.encoding import to_bytes
+from ..utils.result import AlignResult, Timings
+
+
+def _as_bytes(seq) -> np.ndarray:
+    if isinstance(seq, str):
+        return to_bytes(seq)
+    return np.asarray(seq, dtype=np.uint8)
+
+
+def sw_matrix(x, y, cfg: ScoringConfig = ScoringConfig()) -> np.ndarray:
+    """Full (m+1, n+1) DP matrix. Row 0 / column 0 are the zero boundary."""
+    xb, yb = _as_bytes(x), _as_bytes(y)
+    m, n = len(xb), len(yb)
+    tab = cfg.byte_table()
+    if cfg.semantics == Semantics.SAT_UINT8:
+        return _sw_matrix_sat_u8(xb, yb, cfg)
+    dt = cfg.dp_dtype()
+    H = np.zeros((m + 1, n + 1), dtype=dt)
+    g = dt(cfg.gap_penalty) if dt == np.float32 else int(cfg.gap_penalty)
+    tab = tab.astype(dt) if dt == np.float32 else tab.astype(np.int32)
+    for j in range(1, n + 1):
+        for i in range(1, m + 1):
+            s = tab[xb[i - 1], yb[j - 1]]
+            H[i, j] = max(H[i - 1, j - 1] + s, H[i, j - 1] - g, H[i - 1, j] - g, 0)
+    return H
+
+
+def _sw_matrix_sat_u8(xb, yb, cfg: ScoringConfig) -> np.ndarray:
+    """Saturating-uint8 DP, the reference skewed path's arithmetic.
+
+    Match/mismatch magnitudes are clamped to [0, 255] the same way the
+    reference probes and saturates them (src/aligner/similaritymatrix.cpp:376-392).
+    Only uniform scoring is supported in this mode (same restriction as the
+    reference AVX2 path).
+    """
+    if not cfg.is_uniform:
+        raise ValueError("SAT_UINT8 semantics supports uniform scoring only")
+
+    def _sat(v):
+        return np.uint8(min(max(int(v), 0), 255))
+
+    p = _sat(cfg.match)
+    q = _sat(-cfg.mismatch)
+    g = _sat(cfg.gap_penalty)
+    m, n = len(xb), len(yb)
+    H = np.zeros((m + 1, n + 1), dtype=np.uint8)
+
+    def adds(a, b):
+        return np.uint8(min(int(a) + int(b), 255))
+
+    def subs(a, b):
+        return np.uint8(max(int(a) - int(b), 0))
+
+    for j in range(1, n + 1):
+        for i in range(1, m + 1):
+            eq = xb[i - 1] == yb[j - 1]
+            diag = subs(adds(H[i - 1, j - 1], p if eq else 0), 0 if eq else q)
+            west = subs(H[i, j - 1], g)
+            north = subs(H[i - 1, j], g)
+            H[i, j] = max(diag, west, north)
+    return H
+
+
+def find_max(H: np.ndarray) -> Tuple[int, int, float]:
+    """(i, j, value): first maximum in column-major order (Eigen maxCoeff)."""
+    flat = np.argmax(H.T)  # row-major argmax of the transpose == column-major
+    j, i = divmod(flat, H.shape[0])
+    return int(i), int(j), H[i, j].item()
+
+
+def traceback(H: np.ndarray, x, y, i: int, j: int):
+    """Greedy reference-exact traceback from 1-based cell (i, j).
+
+    Returns (pos, consensus_x, consensus_y) with consensus strings in
+    reverse order, '-' for gaps.
+    """
+    xb, yb = _as_bytes(x), _as_bytes(y)
+    cx, cy = [], []
+    while True:
+        n1 = H[i - 1, j - 1]
+        n2 = H[i, j - 1]
+        n3 = H[i - 1, j]
+        if n1 == 0 or n2 == 0 or n3 == 0:
+            cx.append(chr(xb[i - 1]))
+            cy.append(chr(yb[j - 1]))
+            return j, "".join(cx), "".join(cy)
+        if n1 >= n2 and n1 >= n3:  # north-west
+            cx.append(chr(xb[i - 1]))
+            cy.append(chr(yb[j - 1]))
+            i -= 1
+            j -= 1
+        elif n2 >= n1 and n2 >= n3:  # west
+            cx.append("-")
+            cy.append(chr(yb[j - 1]))
+            j -= 1
+        else:  # north
+            cx.append(chr(xb[i - 1]))
+            cy.append("-")
+            i -= 1
+
+
+def align(x, y, cfg: ScoringConfig = ScoringConfig()) -> AlignResult:
+    """End-to-end oracle alignment of read x against reference y."""
+    H = sw_matrix(x, y, cfg)
+    i, j, score = find_max(H)
+    if score <= 0:
+        return AlignResult(score=float(score), pos=0)
+    pos, cx, cy = traceback(H, x, y, i, j)
+    return AlignResult(
+        score=float(score), pos=pos, consensus_x=cx, consensus_y=cy,
+        max_i=i, max_j=j, timings=Timings(),
+    )
