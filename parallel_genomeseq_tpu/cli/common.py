@@ -1,0 +1,72 @@
+"""Shared CLI plumbing: one coherent flag system for all drivers.
+
+Replaces the reference's two-tier compile-time-defines + positional-argv
+configuration (CMakeLists.txt:19-60, src/omp_sw_solve_small.cpp:66-73) with
+argparse flags mapped onto the dataclass configs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from pathlib import Path
+
+from ..utils.config import ChunkConfig, ScoringConfig, Semantics
+
+REFERENCE_DATA = Path(
+    os.environ.get("PGS_REFERENCE_DATA", "/root/reference/data")
+)
+REPO_DATA = Path(__file__).resolve().parents[2] / "data"
+
+
+def add_scoring_flags(p: argparse.ArgumentParser):
+    p.add_argument("--match", type=float, default=3.0, help="match score")
+    p.add_argument("--mismatch", type=float, default=-3.0, help="mismatch score")
+    p.add_argument("--gap-penalty", type=float, default=2.0, help="linear gap penalty")
+    p.add_argument(
+        "--semantics", choices=[s.value for s in Semantics],
+        default=Semantics.EXACT_INT32.value,
+        help="DP value semantics (sat_uint8 matches the reference AVX2 path)",
+    )
+
+
+def add_chunk_flags(p: argparse.ArgumentParser, npiece_default: int):
+    p.add_argument(
+        "--npiece", type=int, default=npiece_default,
+        help="overlapping reference windows (1 = unchunked full-matrix)",
+    )
+    p.add_argument(
+        "--overlap-ratio", type=float, default=2.0,
+        help="window overlap as a multiple of read length",
+    )
+
+
+def add_platform_flags(p: argparse.ArgumentParser):
+    p.add_argument(
+        "--platform", default=None,
+        help="force a JAX platform (e.g. cpu); default = autodetect",
+    )
+    p.add_argument("--batch-size", type=int, default=128, help="reads per device batch")
+
+
+def scoring_from_args(args) -> ScoringConfig:
+    return ScoringConfig(
+        match=args.match, mismatch=args.mismatch, gap_penalty=args.gap_penalty,
+        semantics=Semantics(args.semantics),
+    )
+
+
+def chunk_from_args(args) -> ChunkConfig:
+    return ChunkConfig(npiece=args.npiece, overlap_ratio=args.overlap_ratio)
+
+
+def apply_platform(args):
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+
+def batched(seq, size):
+    for k in range(0, len(seq), size):
+        yield seq[k : k + size]

@@ -1,0 +1,87 @@
+"""solve_small: the accuracy workload — data_small reads vs chr22 5K ref.
+
+TPU-native rework of the reference driver (src/sw_solve_small.cpp): reads the
+reference FASTA and the 1,170-read ground-truth CSV, aligns every read
+(chunked into --npiece overlapping windows, or unchunked full-matrix with
+--npiece 1), writes align_output.csv with appended pos_pred,score columns,
+prints GCUPS, and optionally runs the position-parity check in-process
+(replacing the separate py/eval.py step).
+
+Usage:
+    python -m parallel_genomeseq_tpu.cli.solve_small [--npiece 17] [--eval]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from ..models.swaligner import BatchSWAligner
+from ..parallel.chunking import ChunkedAligner
+from ..seqio.evaluate import check_parity
+from ..seqio.readers import read_fasta, read_ground_truth
+from ..seqio.writers import write_align_output
+from . import common
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--ref", default=str(common.REFERENCE_DATA / "data_small/genome.chr22.5K.fa"))
+    p.add_argument("--input", default=str(common.REFERENCE_DATA / "data_small_ground_truth.csv"))
+    p.add_argument("--output", default=str(common.REPO_DATA / "align_output.csv"))
+    p.add_argument("--limit", type=int, default=0, help="align only the first N reads (0 = all)")
+    p.add_argument("--eval", action="store_true", help="run position-parity check after writing")
+    common.add_scoring_flags(p)
+    common.add_chunk_flags(p, npiece_default=17)
+    common.add_platform_flags(p)
+    args = p.parse_args(argv)
+    common.apply_platform(args)
+
+    ref = read_fasta(args.ref)
+    rows = read_ground_truth(args.input)
+    if args.limit:
+        rows = rows[: args.limit]
+    reads = [r["SEQ"] for r in rows]
+    print(f"solve_small: {len(reads)} reads vs {len(ref)}-bp reference")
+
+    cfg = common.scoring_from_args(args)
+    if args.npiece > 1:
+        aligner = ChunkedAligner(cfg=cfg, chunk=common.chunk_from_args(args))
+        align = lambda batch: aligner.align_batch(batch, ref)
+    else:
+        aligner = BatchSWAligner(cfg)
+        align = lambda batch: aligner.align_batch(batch, [ref])
+
+    results = []
+    cells = 0
+    t_total = 0.0
+    for bk, batch in enumerate(common.batched(reads, args.batch_size)):
+        t0 = time.perf_counter()
+        results.extend(align(batch))
+        t_total += time.perf_counter() - t0
+        cells += sum(len(r) for r in batch) * len(ref)
+        done = len(results)
+        if bk == 0 or done % (args.batch_size * 4) == 0 or done == len(reads):
+            print(f"progress: {done}/{len(reads)}")
+
+    import os
+
+    os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
+    write_align_output(args.output, rows, results)
+    gcups = cells / t_total / 1e9
+    print(
+        f"Aligned {len(results)} reads in {t_total:.3f}s "
+        f"({cells/1e9:.3f} Gcells): {gcups:.3f} GCUPS (incl. traceback+host IO)"
+    )
+    print(f"Done, output file see: {args.output}")
+
+    if args.eval:
+        report = check_parity(args.output)
+        print(report.summary())
+        return 0 if report.diffs < len(results) * 0.02 else 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

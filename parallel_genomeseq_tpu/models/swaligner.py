@@ -1,0 +1,112 @@
+"""Smith-Waterman aligner API: the reference SWAligner's role, batch-first.
+
+The reference aligns one (read, ref) pair per SWAligner instance and loops
+reads serially (src/aligner/smithwaterman.h:11-58, src/sw_solve_small.cpp:80-93).
+On TPU throughput lives in the batch dimension, so the core API is
+``BatchSWAligner.align_batch`` over B lanes; ``SWAligner.align`` is the
+single-pair convenience built on a B=1 batch.
+
+Pipeline per batch: one fused forward wavefront emitting per-cell move codes
+(ops/scan_dp), exact argmax with the reference's column-major tie-break, then
+a batched on-device traceback walk (ops/traceback) and host string assembly.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..ops.scan_dp import ScanEngine
+from ..ops.traceback import decode_consensus, walk_moves
+from ..utils.config import ScoringConfig
+from ..utils.encoding import X_PAD, Y_PAD, batch_pad, to_bytes
+from ..utils.result import AlignResult, Timings
+
+
+def _round_up(v: int, mult: int) -> int:
+    return ((v + mult - 1) // mult) * mult
+
+
+class BatchSWAligner:
+    """Aligns batches of reads against per-lane reference windows.
+
+    Shapes are padded to multiples of ``pad_m`` / ``pad_n`` to bound the
+    number of compiled programs.
+    """
+
+    def __init__(
+        self,
+        cfg: ScoringConfig = ScoringConfig(),
+        pad_m: int = 8,
+        pad_n: int = 128,
+    ):
+        self.cfg = cfg
+        self.pad_m = pad_m
+        self.pad_n = pad_n
+        self.engine = ScanEngine(cfg)
+
+    def align_batch(
+        self,
+        reads: Sequence[str],
+        refs: Sequence[str],
+        traceback: bool = True,
+    ) -> List[AlignResult]:
+        """Align reads[k] against refs[k] (pass a length-1 refs list or the
+        same string repeated to share one reference)."""
+        if len(refs) == 1 and len(reads) > 1:
+            refs = list(refs) * len(reads)
+        if len(reads) != len(refs):
+            raise ValueError("reads and refs length mismatch")
+        xb = [to_bytes(r) for r in reads]
+        yb = [to_bytes(r) for r in refs]
+        m = np.array([len(v) for v in xb], np.int32)
+        n = np.array([len(v) for v in yb], np.int32)
+        M = _round_up(max(1, int(m.max())), self.pad_m)
+        N = _round_up(max(1, int(n.max())), self.pad_n)
+        xs = batch_pad(xb, M, X_PAD)
+        ys = batch_pad(yb, N, Y_PAD)
+
+        t0 = time.perf_counter()
+        res = self.engine.score_batch(xs, ys, m, n, emit_moves=traceback)
+        if traceback:
+            max_steps = 3 * M + 8
+            pos, cx, cy, steps = walk_moves(
+                res["moves"], np.ascontiguousarray(xs.T), ys,
+                res["i"], res["j"], max_steps=max_steps,
+            )
+            pos = np.asarray(pos)
+            consensus = decode_consensus(cx, cy, steps)
+        score = np.asarray(res["score"])
+        ii = np.asarray(res["i"])
+        jj = np.asarray(res["j"])
+        sweep_us = (time.perf_counter() - t0) * 1e6
+
+        out = []
+        t = Timings(sweep_us=sweep_us, diag_sum_us=sweep_us)
+        for k in range(len(reads)):
+            if traceback:
+                cxk, cyk = consensus[k]
+                pk = int(pos[k])
+            else:
+                cxk = cyk = ""
+                pk = 0
+            out.append(
+                AlignResult(
+                    score=float(score[k]), pos=pk, consensus_x=cxk,
+                    consensus_y=cyk, max_i=int(ii[k]), max_j=int(jj[k]),
+                    timings=t,
+                )
+            )
+        return out
+
+
+class SWAligner:
+    """Single-pair aligner with the reference's query surface."""
+
+    def __init__(self, cfg: ScoringConfig = ScoringConfig()):
+        self._batch = BatchSWAligner(cfg)
+
+    def align(self, read: str, ref: str, traceback: bool = True) -> AlignResult:
+        return self._batch.align_batch([read], [ref], traceback=traceback)[0]

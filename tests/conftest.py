@@ -7,12 +7,19 @@ smoke test (reference: test/test_MPI.cpp) but actually exercising an 8-way mesh.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# NB: a sitecustomize module may import jax (and latch JAX_PLATFORMS) before
+# this conftest runs, so setting the env var here is too late — force the
+# platform through the live config instead. XLA_FLAGS is read when the CPU
+# client is first created, which hasn't happened yet.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
