@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Headline benchmark: SW wavefront GCUPS per TPU chip.
+
+Workload: the reference's accuracy-workload shape — 125-bp reads against the
+4,980-bp chr22 reference (data_small), batched 128 lanes per kernel call.
+Timing is min-over-repeats with device-resident inputs (the reference's
+sw_solve_big methodology, src/sw_solve_big.cpp:82-88, which also excludes
+host IO from its GCUPS math).
+
+Baseline: 4.6 GCUPS/core, the reference's own per-core model for its skewed
+AVX2 kernel on an ETH Leonhard node (src/sw_solve_big.cpp:73; see
+BASELINE.md). For context, the same C++ kernel measured 7.9 GCUPS
+single-thread on this machine's host CPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_GCUPS = 4.6
+
+
+def build_inputs(B):
+    from parallel_genomeseq_tpu.seqio.readers import read_fasta, read_ground_truth
+    from parallel_genomeseq_tpu.utils.encoding import X_PAD, batch_pad, to_bytes
+
+    ref = read_fasta("/root/reference/data/data_small/genome.chr22.5K.fa")
+    rows = read_ground_truth("/root/reference/data/data_small_ground_truth.csv")
+    reads = [to_bytes(rows[k % len(rows)]["SEQ"]) for k in range(B)]
+    xs = batch_pad(reads, max(len(r) for r in reads), X_PAD)
+    ys = np.broadcast_to(to_bytes(ref)[None, :], (B, len(ref))).copy()
+    m = np.array([len(r) for r in reads], np.int32)
+    n = np.full(B, len(ref), np.int32)
+    cells = int(m.sum()) * len(ref)
+    return xs, ys, m, n, cells
+
+
+def time_batch(engine, B, repeats=8):
+    """Min-over-repeats wall time for one B-lane invocation, inputs
+    device-resident, output fetched (the fetch forces a true sync on this
+    remote-tunnel setup where block_until_ready returns early)."""
+    xs, ys, m, n, cells = build_inputs(B)
+    prep = engine.prepare(xs, ys, m, n, device=True)
+    res = engine.score_prepared(prep)  # warm up (compile)
+    np.asarray(res["score"])
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        res = engine.score_prepared(prep)
+        np.asarray(res["score"])
+        best = min(best, time.perf_counter() - t0)
+    return best, cells
+
+
+def main():
+    from parallel_genomeseq_tpu.utils.platform import setup_cache
+
+    setup_cache()
+
+    result = None
+    for attempt in range(2):
+        try:
+            from parallel_genomeseq_tpu.ops.wavefront_pallas import PallasEngine
+
+            eng = PallasEngine()
+            if not eng.interpret:
+                eng.self_check()
+            # Kernel-only GCUPS via batch-size differencing: one invocation
+            # carries a fixed host<->device round-trip (~28 ms through the
+            # remote tunnel; sub-ms on directly-attached hardware), so the
+            # kernel rate is the marginal cost of 39 extra 128-lane blocks.
+            t_small, c_small = time_batch(eng, 128)
+            t_big, c_big = time_batch(eng, 5120)
+            kernel_gcups = (c_big - c_small) / max(t_big - t_small, 1e-9) / 1e9
+            e2e_gcups = c_big / t_big / 1e9
+            result = ("pallas", kernel_gcups, e2e_gcups)
+            break
+        except Exception as e:  # miscompile / flaky backend: retry, then fall back
+            print(f"# pallas attempt {attempt} failed: {e}", file=sys.stderr)
+    if result is None:
+        from parallel_genomeseq_tpu.ops.scan_dp import ScanEngine
+
+        eng = ScanEngine()
+        xs, ys, m, n, cells = build_inputs(128)
+        res = eng.score_batch(xs, ys, m, n)
+        np.asarray(res["score"])
+        t0 = time.perf_counter()
+        res = eng.score_batch(xs, ys, m, n)
+        np.asarray(res["score"])
+        dt = time.perf_counter() - t0
+        result = ("scan", cells / dt / 1e9, cells / dt / 1e9)
+
+    name, kernel_gcups, e2e_gcups = result
+    print(
+        f"# engine={name} kernel={kernel_gcups:.1f} GCUPS "
+        f"end2end(B=5120)={e2e_gcups:.1f} GCUPS",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"sw_wavefront_gcups_per_chip[{name}]",
+                "value": round(kernel_gcups, 2),
+                "unit": "GCUPS",
+                "vs_baseline": round(kernel_gcups / BASELINE_GCUPS, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -29,11 +29,36 @@ def _round_up(v: int, mult: int) -> int:
     return ((v + mult - 1) // mult) * mult
 
 
+def make_score_engine(cfg: ScoringConfig, name: str = "auto"):
+    """Score-only engine factory: 'pallas' (TPU kernel), 'scan' (lax.scan),
+    or 'auto' (Pallas on TPU when the config allows, else scan)."""
+    from ..utils.config import Semantics
+
+    if name == "auto":
+        import jax
+
+        pallas_ok = (
+            jax.default_backend() == "tpu"
+            and cfg.semantics != Semantics.SAT_UINT8
+            and cfg.is_integral
+        )
+        name = "pallas" if pallas_ok else "scan"
+    if name == "pallas":
+        from ..ops.wavefront_pallas import PallasEngine
+
+        return PallasEngine(cfg)
+    if name == "scan":
+        return ScanEngine(cfg)
+    raise ValueError(f"unknown engine {name!r}")
+
+
 class BatchSWAligner:
     """Aligns batches of reads against per-lane reference windows.
 
     Shapes are padded to multiples of ``pad_m`` / ``pad_n`` to bound the
-    number of compiled programs.
+    number of compiled programs. Score-only calls use ``score_engine``
+    ('auto' = Pallas kernel on TPU); traceback calls use the scan engine,
+    which emits the move codes the device walk needs.
     """
 
     def __init__(
@@ -41,11 +66,13 @@ class BatchSWAligner:
         cfg: ScoringConfig = ScoringConfig(),
         pad_m: int = 8,
         pad_n: int = 128,
+        score_engine: str = "auto",
     ):
         self.cfg = cfg
         self.pad_m = pad_m
         self.pad_n = pad_n
         self.engine = ScanEngine(cfg)
+        self.scorer = make_score_engine(cfg, score_engine)
 
     def align_batch(
         self,
@@ -69,7 +96,10 @@ class BatchSWAligner:
         ys = batch_pad(yb, N, Y_PAD)
 
         t0 = time.perf_counter()
-        res = self.engine.score_batch(xs, ys, m, n, emit_moves=traceback)
+        if traceback:
+            res = self.engine.score_batch(xs, ys, m, n, emit_moves=True)
+        else:
+            res = self.scorer.score_batch(xs, ys, m, n)
         if traceback:
             max_steps = 3 * M + 8
             pos, cx, cy, steps = walk_moves(

@@ -1,0 +1,323 @@
+"""Pallas TPU anti-diagonal wavefront kernel — the performance core.
+
+TPU-native successor of the reference's skewed AVX2 kernel
+(Similarity_Matrix_Skewed::iterate, src/aligner/similaritymatrix.cpp:386-561).
+Where the reference packs 32 uint8 cells of one alignment's diagonal into an
+AVX2 register, this kernel keeps whole diagonals of B independent alignments
+resident in VMEM: a (M, B) tile holds diagonal cells of M read positions
+(sublanes) x B batch lanes, so every VPU op advances 128 alignments at once.
+
+Design notes:
+- Diagonal-major recurrence identical to ops/scan_dp.py: cell (r, d) =
+  DP(i=r+1, j=d-r+1); north/west come from the previous diagonal, north-west
+  from two diagonals back. One `pltpu.roll` per step produces both shifted
+  carries (the shift of H_{d-2} is last step's shift of H_{d-1}, re-used).
+- The reference-window characters a diagonal needs shift down by one row per
+  step with one new char entering at row 0 (the TPU analog of the
+  reference's reversed inv_sequence_y slices,
+  src/aligner/similaritymatrix.cpp:283-285,406-414). The loop runs in blocks
+  of 8 diagonals: one sublane-aligned (8, B) load per block, then 8
+  statically-unrolled steps with static row selects — no per-step dynamic
+  memory access survives in the hot loop.
+- Invalid cells (j < 1, i > m_b, j > n_b) are stored as 0: boundary
+  condition + exact running argmax in one mask.
+- Scores are exact int32 (no uint8 saturation): a 125-bp perfect match keeps
+  its true 375, where the reference's fast path clamps at 255.
+- Outputs are the elementwise (best, best-diagonal) planes; the tiny final
+  reduction (score, i, j with the column-major tie-break) runs in XLA
+  (scan_dp._reduce_best).
+
+Batch lanes beyond 128 are handled by a sequential grid over 128-lane
+blocks; each block's problem is independent (reads x reference chunks), the
+TPU analog of the reference's OMP-over-pieces loop
+(src/aligner/plocalaligner.cpp:110-115).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.config import ScoringConfig, Semantics
+from .scan_dp import _reduce_best
+
+LANE = 128  # lanes per grid block (VPU lane width)
+UNROLL = 8  # diagonals per aligned ref-char block
+
+
+def _round_up(v: int, mult: int) -> int:
+    return ((v + mult - 1) // mult) * mult
+
+
+def _make_body(score_of_window, y_ref, n_ref, mrow_ref, M: int, B: int):
+    """Shared recurrence: returns the outer-loop body over UNROLL-step blocks.
+
+    score_of_window(ywin) -> (M, B) int32 substitution scores for the current
+    diagonal's character pairs.
+    """
+    rr = jax.lax.broadcasted_iota(jnp.int32, (M, B), 0)
+    row0 = rr == 0
+    rowmask = mrow_ref[:] != 0
+    n_row = n_ref[0, :][None, :]  # (1, B)
+
+    def outer(o, carry, *, gap):
+        h1, s2, best, bestd, ywin = carry
+        base = pl.multiple_of(o * UNROLL, UNROLL)
+        blk = y_ref[pl.ds(base, UNROLL), :].astype(jnp.int32)  # (8, B)
+        for k in range(UNROLL):
+            d = o * UNROLL + k
+            yc = blk[k : k + 1, :]  # static row
+            ywin = pltpu.roll(ywin, 1, 0)
+            ywin = jnp.where(row0, yc, ywin)
+            sc = score_of_window(ywin)
+            s1 = pltpu.roll(h1, 1, 0)
+            s1 = jnp.where(row0, 0, s1)
+            hd = jnp.maximum(
+                jnp.maximum(s2 + sc, h1 - gap), jnp.maximum(s1 - gap, 0)
+            )
+            valid = (rr <= d) & rowmask & (rr >= d + 1 - n_row)
+            hd = jnp.where(valid, hd, 0)
+            upd = hd > best
+            best = jnp.where(upd, hd, best)
+            bestd = jnp.where(upd, d, bestd)
+            s2 = s1
+            h1 = hd
+        return h1, s2, best, bestd, ywin
+
+    return outer
+
+
+def _kernel_uniform(x_ref, y_ref, n_ref, mrow_ref, best_ref, bestd_ref,
+                    *, nblk: int, match: int, mismatch: int, gap: int):
+    M, B = x_ref.shape
+    x = x_ref[:].astype(jnp.int32)
+
+    def score_of_window(ywin):
+        return jnp.where(x == ywin, match, mismatch)
+
+    outer = _make_body(score_of_window, y_ref, n_ref, mrow_ref, M, B)
+    zeros = jnp.zeros((M, B), jnp.int32)
+    init = (zeros, zeros, zeros, zeros, zeros)
+    _, _, best, bestd, _ = jax.lax.fori_loop(
+        0, nblk, functools.partial(outer, gap=gap), init
+    )
+    best_ref[:] = best
+    bestd_ref[:] = bestd
+
+
+def _kernel_profile(prof_ref, y_ref, n_ref, mrow_ref, best_ref, bestd_ref,
+                    *, nblk: int, alphabet: Tuple[int, ...], worst: int,
+                    gap: int):
+    """Substitution-matrix scoring via per-read score profiles:
+    prof[c, r, b] = S[x_b[r], alphabet[c]]. The per-step score is selected by
+    comparing window chars against each alphabet byte (A selects; A=4 for
+    DNA, ~25 for protein) — no gathers in the hot loop."""
+    A, M, B = prof_ref.shape
+    prof = prof_ref[:]
+
+    def score_of_window(ywin):
+        sc = jnp.full((M, B), worst, jnp.int32)
+        for c in range(A):
+            sc = jnp.where(ywin == np.int32(alphabet[c]), prof[c], sc)
+        return sc
+
+    outer = _make_body(score_of_window, y_ref, n_ref, mrow_ref, M, B)
+    zeros = jnp.zeros((M, B), jnp.int32)
+    init = (zeros, zeros, zeros, zeros, zeros)
+    _, _, best, bestd, _ = jax.lax.fori_loop(
+        0, nblk, functools.partial(outer, gap=gap), init
+    )
+    best_ref[:] = best
+    bestd_ref[:] = bestd
+
+
+def _common_specs(M, Ny):
+    tail = [
+        pl.BlockSpec((Ny, LANE), lambda b: (0, b), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, LANE), lambda b: (0, b), memory_space=pltpu.VMEM),
+        pl.BlockSpec((M, LANE), lambda b: (0, b), memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((M, LANE), lambda b: (0, b), memory_space=pltpu.VMEM),
+        pl.BlockSpec((M, LANE), lambda b: (0, b), memory_space=pltpu.VMEM),
+    ]
+    return tail, out_specs
+
+
+@functools.partial(jax.jit, static_argnames=("match", "mismatch", "gap", "interpret"))
+def _call_uniform(xs, ys, n, mrow, *, match, mismatch, gap, interpret):
+    M, B = xs.shape
+    Ny = ys.shape[0]
+    D = M + (Ny - M) - 1  # true diagonals; ys rows are padded to M + N
+    nblk = (M + Ny + UNROLL - 2) // UNROLL  # covers all diagonals
+    nblk = min(nblk, Ny // UNROLL)  # aligned loads must stay in bounds
+    kernel = functools.partial(
+        _kernel_uniform, nblk=nblk, match=match, mismatch=mismatch, gap=gap
+    )
+    tail, out_specs = _common_specs(M, Ny)
+    x_spec = pl.BlockSpec((M, LANE), lambda b: (0, b), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // LANE,),
+        in_specs=[x_spec] + tail,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((M, B), jnp.int32),
+            jax.ShapeDtypeStruct((M, B), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=14 * (M + Ny) * M * B, bytes_accessed=M * B * 16,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xs, ys, n, mrow)
+
+
+@functools.partial(jax.jit, static_argnames=("alphabet", "worst", "gap", "interpret"))
+def _call_profile(prof, ys, n, mrow, *, alphabet, worst, gap, interpret):
+    A, M, B = prof.shape
+    Ny = ys.shape[0]
+    nblk = (M + Ny + UNROLL - 2) // UNROLL
+    nblk = min(nblk, Ny // UNROLL)
+    kernel = functools.partial(
+        _kernel_profile, nblk=nblk, alphabet=alphabet, worst=worst, gap=gap
+    )
+    tail, out_specs = _common_specs(M, Ny)
+    p_spec = pl.BlockSpec((A, M, LANE), lambda b: (0, 0, b), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // LANE,),
+        in_specs=[p_spec] + tail,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((M, B), jnp.int32),
+            jax.ShapeDtypeStruct((M, B), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=(14 + A) * (M + Ny) * M * B, bytes_accessed=M * B * 16,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(prof, ys, n, mrow)
+
+
+class PallasEngine:
+    """Drop-in score engine with the ScanEngine result contract.
+
+    Exact-int32 semantics only (the production mode). Traceback is done by
+    re-running the winner window through the scan path (the architecture the
+    reference uses: traceback-free fast sweep + full aligner on the winner,
+    src/aligner/plocalaligner.cpp:106-143).
+    """
+
+    def __init__(self, cfg: ScoringConfig = ScoringConfig(), interpret: Optional[bool] = None):
+        if cfg.semantics == Semantics.SAT_UINT8:
+            raise ValueError(
+                "PallasEngine computes exact int32; use ScanEngine for sat_uint8 parity"
+            )
+        if not cfg.is_integral:
+            raise ValueError("PallasEngine requires integral scoring parameters")
+        self.cfg = cfg
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        self.interpret = interpret
+        self._checked = interpret  # interpret mode is trusted
+        from ..utils.platform import setup_cache
+
+        setup_cache()
+
+    def self_check(self):
+        """Golden check against the scan engine after first compile.
+
+        The remote TPU compile service has been observed to occasionally
+        produce a wrong executable; this turns silent corruption into a loud
+        failure (raises RuntimeError). Runs once per engine instance.
+        """
+        from ..utils.encoding import to_bytes
+        from .scan_dp import ScanEngine
+
+        rng = np.random.default_rng(12345)
+        x = rng.integers(65, 69, (4, 96)).astype(np.uint8)
+        y = rng.integers(65, 69, (4, 480)).astype(np.uint8)
+        m = np.full(4, 96)
+        n = np.full(4, 480)
+        got = self.score_prepared(self.prepare(x, y, m, n))
+        want = ScanEngine(self.cfg).score_batch(x, y, m, n)
+        for k in ("score", "i", "j"):
+            g, w = np.asarray(got[k]), np.asarray(want[k])
+            if not (g == w).all():
+                raise RuntimeError(
+                    f"Pallas kernel self-check FAILED ({k}: {g.tolist()} != "
+                    f"{w.tolist()}): suspected miscompile — retry in a fresh "
+                    "process or clear the JAX compilation cache"
+                )
+        self._checked = True
+
+    def score_batch(self, x_bm, y_bn, m, n):
+        if not self._checked:
+            self.self_check()
+        return self.score_prepared(self.prepare(x_bm, y_bn, m, n))
+
+    def prepare(self, x_bm, y_bn, m, n, device: bool = False):
+        """Pad/transpose inputs into kernel layout. With device=True the
+        arrays are uploaded once (device-resident benchmarking / pipelines),
+        avoiding a host->device transfer per invocation."""
+        x_bm = np.asarray(x_bm, np.uint8)
+        y_bn = np.asarray(y_bn, np.uint8)
+        B0, M0 = x_bm.shape
+        N0 = y_bn.shape[1]
+        M = _round_up(max(M0, 8), 8)
+        # Ref-char rows padded to cover every aligned diagonal-block load:
+        # nblk * UNROLL rows are touched, nblk = ceil((M + N) / UNROLL).
+        Ny = _round_up(max(N0, 8) + M + UNROLL, UNROLL)
+        B = _round_up(max(B0, LANE), LANE)
+        xs = np.full((M, B), 1, np.uint8)  # X_PAD
+        xs[:M0, :B0] = x_bm.T
+        ys = np.full((Ny, B), 2, np.uint8)  # Y_PAD
+        ys[:N0, :B0] = y_bn.T
+        nn = np.zeros((1, B), np.int32)
+        nn[0, :B0] = np.asarray(n, np.int32)
+        mm = np.zeros((B,), np.int32)
+        mm[:B0] = np.asarray(m, np.int32)
+        mrow = (np.arange(M)[:, None] < mm[None, :]).astype(np.int32)
+
+        if self.cfg.is_uniform:
+            first = xs
+        else:
+            alpha = tuple(self.cfg.alphabet.encode("ascii"))
+            S = np.asarray(self.cfg.matrix).astype(np.int32)
+            worst = int(S.min())
+            lut = np.full((256, len(alpha)), worst, np.int32)
+            for ci in range(len(alpha)):
+                for ri, rb in enumerate(alpha):
+                    lut[rb, ci] = S[ri, ci]
+            first = np.transpose(lut[xs], (2, 0, 1)).copy()  # (A, M, B)
+        args = [first, ys, nn, mrow]
+        if device:
+            args = [jax.device_put(a) for a in args]
+        return {"args": args, "B0": B0}
+
+    def score_prepared(self, prep):
+        args = prep["args"]
+        B0 = prep["B0"]
+        if self.cfg.is_uniform:
+            best, bestd = _call_uniform(
+                *args,
+                match=int(self.cfg.match), mismatch=int(self.cfg.mismatch),
+                gap=int(self.cfg.gap_penalty), interpret=self.interpret,
+            )
+        else:
+            alpha = tuple(self.cfg.alphabet.encode("ascii"))
+            worst = int(np.asarray(self.cfg.matrix).astype(np.int32).min())
+            best, bestd = _call_profile(
+                *args, alphabet=alpha, worst=worst,
+                gap=int(self.cfg.gap_penalty), interpret=self.interpret,
+            )
+        score, i, j = _reduce_best(best, bestd)
+        return {"score": score[:B0], "i": i[:B0], "j": j[:B0]}

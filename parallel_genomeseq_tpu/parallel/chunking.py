@@ -82,12 +82,15 @@ class ChunkedAligner:
         chunk: ChunkConfig = ChunkConfig(npiece=4, overlap_ratio=2.0),
         pad_m: int = 8,
         pad_n: int = 128,
+        score_engine: str = "auto",
     ):
+        from ..models.swaligner import make_score_engine
+
         self.cfg = cfg
         self.chunk = chunk
         self.pad_m = pad_m
         self.pad_n = pad_n
-        self.engine = ScanEngine(cfg)
+        self.engine = make_score_engine(cfg, score_engine)
         self._winner_aligner = BatchSWAligner(cfg, pad_m=pad_m, pad_n=pad_n)
 
     def align_batch(

@@ -1,0 +1,80 @@
+"""Differential tests: Pallas wavefront kernel (interpret mode) vs scan/oracle."""
+
+import numpy as np
+import pytest
+
+from conftest import random_dna, random_protein
+from parallel_genomeseq_tpu.ops import oracle
+from parallel_genomeseq_tpu.ops.scan_dp import ScanEngine
+from parallel_genomeseq_tpu.ops.wavefront_pallas import PallasEngine
+from parallel_genomeseq_tpu.utils.config import ScoringConfig, Semantics
+from parallel_genomeseq_tpu.utils.encoding import X_PAD, Y_PAD, batch_pad, to_bytes
+
+
+def test_wiki_golden():
+    eng = PallasEngine()
+    res = eng.score_batch(
+        to_bytes("GGTTGACTA")[None], to_bytes("TGTTACGG")[None],
+        np.array([9]), np.array([8]),
+    )
+    assert int(res["score"][0]) == 13
+    assert (int(res["i"][0]), int(res["j"][0])) == (7, 6)
+
+
+def test_random_vs_oracle(rng):
+    eng = PallasEngine()
+    for _ in range(6):
+        m = int(rng.integers(1, 40))
+        n = int(rng.integers(1, 90))
+        x, y = random_dna(rng, m), random_dna(rng, n)
+        res = eng.score_batch(
+            to_bytes(x)[None], to_bytes(y)[None], np.array([m]), np.array([n])
+        )
+        oi, oj, ov = oracle.find_max(oracle.sw_matrix(x, y))
+        assert int(res["score"][0]) == ov, (x, y)
+        if ov > 0:
+            assert (int(res["i"][0]), int(res["j"][0])) == (oi, oj), (x, y)
+
+
+def test_ragged_batch_vs_scan(rng):
+    pairs = [
+        (random_dna(rng, int(rng.integers(4, 33))), random_dna(rng, int(rng.integers(10, 120))))
+        for _ in range(9)
+    ]
+    M = max(len(x) for x, _ in pairs)
+    N = max(len(y) for _, y in pairs)
+    xs = batch_pad([to_bytes(x) for x, _ in pairs], M, X_PAD)
+    ys = batch_pad([to_bytes(y) for _, y in pairs], N, Y_PAD)
+    m = np.array([len(x) for x, _ in pairs])
+    n = np.array([len(y) for _, y in pairs])
+    got = PallasEngine().score_batch(xs, ys, m, n)
+    want = ScanEngine().score_batch(xs, ys, m, n)
+    for k in ("score", "i", "j"):
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]))
+
+
+def test_profile_kernel_protein(rng):
+    alpha = "ARNDCQEGHILKMFPSTWYV"
+    mat = rng.integers(-4, 12, size=(20, 20))
+    mat = ((mat + mat.T) // 2).astype(np.float64)
+    cfg = ScoringConfig(matrix=mat, alphabet=alpha, gap_penalty=3.0)
+    eng = PallasEngine(cfg)
+    x = random_protein(rng, 30)
+    y = random_protein(rng, 70)
+    res = eng.score_batch(
+        to_bytes(x)[None], to_bytes(y)[None], np.array([30]), np.array([70])
+    )
+    oi, oj, ov = oracle.find_max(oracle.sw_matrix(x, y, cfg))
+    assert int(res["score"][0]) == ov
+    if ov > 0:
+        assert (int(res["i"][0]), int(res["j"][0])) == (oi, oj)
+
+
+def test_rejects_sat_uint8():
+    with pytest.raises(ValueError):
+        PallasEngine(ScoringConfig(semantics=Semantics.SAT_UINT8))
+
+
+def test_self_check_passes():
+    eng = PallasEngine()
+    eng.self_check()  # interpret-mode kernel must agree with scan
