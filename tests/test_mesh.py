@@ -1,0 +1,68 @@
+"""Multi-device tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+from conftest import random_dna
+from parallel_genomeseq_tpu.ops import oracle
+from parallel_genomeseq_tpu.parallel.chunking import ChunkedAligner
+from parallel_genomeseq_tpu.parallel.mesh import MeshAligner, make_mesh
+from parallel_genomeseq_tpu.utils.config import ChunkConfig
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(8)
+    assert mesh.shape["chunk"] * mesh.shape["batch"] == 8
+    assert mesh.shape["chunk"] == 2
+    mesh1 = make_mesh(1)
+    assert dict(mesh1.shape) == {"chunk": 1, "batch": 1}
+
+
+def test_mesh_scores_match_oracle(rng):
+    ref = random_dna(rng, 900)
+    reads = []
+    for _ in range(6):
+        s = int(rng.integers(0, 850))
+        read = list(ref[s : s + 40])
+        for _ in range(2):
+            read[int(rng.integers(0, 40))] = rng.choice(list("ACGT"))
+        reads.append("".join(read))
+    al = MeshAligner(
+        chunk_cfg=ChunkConfig(npiece=4, overlap_ratio=2.0), mesh=make_mesh(8)
+    )
+    out = al.score_reads(reads, ref)
+    for k, read in enumerate(reads):
+        H = oracle.sw_matrix(read, ref)
+        _, _, ov = oracle.find_max(H)
+        assert int(out["score"][k]) == ov, (k, read)
+
+
+def test_mesh_matches_single_device_chunked(rng):
+    """The distributed merge must agree with the sequential ChunkedAligner
+    winner (same deterministic first-piece-wins tie-break)."""
+    ref = random_dna(rng, 1200)
+    reads = [ref[i : i + 50] for i in (10, 300, 700, 1100)]
+    chunk = ChunkConfig(npiece=4, overlap_ratio=2.0)
+    mal = MeshAligner(chunk_cfg=chunk, mesh=make_mesh(8))
+    out = mal.score_reads(reads, ref)
+    cal = ChunkedAligner(chunk=chunk, score_engine="scan")
+    got = cal.align_batch(reads, ref)
+    for k in range(len(reads)):
+        assert int(out["score"][k]) == got[k].score
+        assert int(out["j"][k]) == got[k].max_j, k
+
+
+def test_graft_entry_points():
+    import importlib.util, pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", pathlib.Path(__file__).parents[1] / "__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    import jax
+
+    fn, args = mod.entry()
+    score, i, j = jax.jit(fn)(*args)
+    assert score.shape == (args[0].shape[1],)
+    mod.dryrun_multichip(8)
