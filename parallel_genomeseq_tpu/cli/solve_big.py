@@ -1,0 +1,107 @@
+"""solve_big: the GCUPS throughput workload — long reads vs a long reference.
+
+TPU-native rework of the reference driver (src/sw_solve_big.cpp): aligns
+n_reads long reads (default 10,000 bp) against a custom reference (default
+30,000 bp) with 2*npiece overlapping windows and overlap ratio 2.0, taking
+the min time over --nrepeat repetitions per batch (the reference's
+methodology, src/sw_solve_big.cpp:82-88), and reports GCUPS mean plus the
+reference's own "theoretical GCUPS" efficiency model
+(npiece * percore / (ref + 2*(npiece-1)*overlap*read) * ref,
+src/sw_solve_big.cpp:71-74) evaluated with this machine's measured kernel
+rate instead of Leonhard's 4.6 GCUPS/core.
+
+Generates its own data when --ref/--reads are absent (seqio/datagen
+equivalents of py/ompfg_data_prep.py).
+
+Usage:
+    python -m parallel_genomeseq_tpu.cli.solve_big [npiece] [nrepeat] [flags]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import sys
+import time
+
+import numpy as np
+
+from ..parallel.chunking import ChunkedAligner
+from ..seqio.datagen import gen_reads_custom, gen_ref_custom
+from ..seqio.readers import read_fasta
+from ..utils.config import ChunkConfig
+from . import common
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("npiece", type=int, nargs="?", default=7)
+    p.add_argument("nrepeat", type=int, nargs="?", default=3)
+    p.add_argument("--ref", default=None, help="custom ref FASTA (generated if absent)")
+    p.add_argument("--reads", default=None, help="reads CSV (generated if absent)")
+    p.add_argument("--ref-len", type=int, default=30_000)
+    p.add_argument("--read-len", type=int, default=10_000)
+    p.add_argument("--n-reads", type=int, default=100)
+    p.add_argument("--overlap-ratio", type=float, default=2.0)
+    common.add_scoring_flags(p)
+    common.add_platform_flags(p)
+    args = p.parse_args(argv)
+    common.apply_platform(args)
+
+    import os
+
+    os.makedirs(common.REPO_DATA, exist_ok=True)
+    if args.ref:
+        ref = read_fasta(args.ref)
+    else:
+        ref = gen_ref_custom(
+            common.REPO_DATA / "custom_ref_1.fa", ref_len=args.ref_len
+        )
+    if args.reads:
+        with open(args.reads, newline="") as f:
+            rows = list(csv.DictReader(f))
+        reads = [r["SEQ"] for r in rows]
+    else:
+        pairs = gen_reads_custom(
+            ref, common.REPO_DATA / "custom_reads_1.csv",
+            n_reads=args.n_reads, read_len=min(args.read_len, len(ref)),
+        )
+        reads = [s for s, _ in pairs]
+
+    npiece = args.npiece * 2  # the reference doubles the CLI arg (sw_solve_big.cpp:78)
+    print(
+        f"solve_big: {len(reads)} reads x {len(reads[0])} bp vs {len(ref)} bp, "
+        f"npiece {npiece}, overlap {args.overlap_ratio}"
+    )
+    cfg = common.scoring_from_args(args)
+    aligner = ChunkedAligner(
+        cfg=cfg, chunk=ChunkConfig(npiece=npiece, overlap_ratio=args.overlap_ratio)
+    )
+
+    read_len = len(reads[0])
+    overlap = args.overlap_ratio * read_len
+    est_mem = len(reads[0]) * (len(ref) + (npiece - 1) * overlap) * 4 / 1e9
+    print(f"Estimated peak DP cells per read: {est_mem:.2f} G (not materialized; wavefront carries only)")
+
+    gcups_per_read = []
+    for bk, batch in enumerate(common.batched(reads, args.batch_size)):
+        best_t = float("inf")
+        for _ in range(args.nrepeat):
+            t0 = time.perf_counter()
+            res = aligner.align_batch(batch, ref, traceback=False)
+            best_t = min(best_t, time.perf_counter() - t0)
+        cells = sum(len(r) for r in batch) * len(ref)
+        gcups_per_read.append(cells / best_t / 1e9)
+        print(f"batch {bk}: {best_t*1e3:.1f} ms (min of {args.nrepeat}) -> {gcups_per_read[-1]:.2f} GCUPS")
+
+    g = np.array(gcups_per_read)
+    print(f"GCUPS mean {g.mean():.2f} std {g.std():.2f} (useful cells / wall time, batches of {args.batch_size})")
+    # Reference efficiency model with a present-day per-chip kernel rate.
+    percore = 159.0  # measured Pallas kernel GCUPS on this chip (bench.py)
+    model = npiece * percore / (len(ref) + 2 * (npiece - 1) * overlap) * len(ref) / npiece
+    print(f"Overlap-efficiency model at {percore:.0f} GCUPS kernel rate: {model:.1f} GCUPS")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

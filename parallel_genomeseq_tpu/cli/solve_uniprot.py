@@ -1,0 +1,118 @@
+"""solve_uniprot: protein query vs a protein database (UNIPROT workload).
+
+TPU-native rework of the reference's MPI UNIPROT benchmark
+(src/mpi_sw_solve_uniprot.cpp): the query protein is aligned against every
+database entry. Instead of sharding per-protein FASTA files over MPI worker
+ranks with a writer rank collecting structs, proteins are length-bucketed
+into device batches and scored by the wavefront kernel with real BLOSUM
+substitution scoring (the reference's fast path cannot do matrix scoring at
+all — it probes only uniform match/mismatch, src/aligner/similaritymatrix.cpp:389-392).
+
+Output CSV: name,len,score,pos_end (1-based ref index of the DP maximum)
+sorted by database order, plus a top-K report.
+
+Usage:
+    python -m parallel_genomeseq_tpu.cli.solve_uniprot \
+        --query /root/reference/data/query/P02232.fasta \
+        --database data/uniprot/database.fasta --matrix blosum50
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import sys
+import time
+
+import numpy as np
+
+from ..models.swaligner import make_score_engine
+from ..ops.substitution import blosum_config
+from ..seqio.readers import read_fasta
+from ..seqio.uniprot import iter_database
+from ..utils.encoding import X_PAD, Y_PAD, batch_pad, to_bytes
+from . import common
+
+
+def _round_up(v, mult):
+    return ((v + mult - 1) // mult) * mult
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--query", default=str(common.REFERENCE_DATA / "query/P02232.fasta"))
+    p.add_argument("--database", required=True, help="FASTA or line-per-protein database")
+    p.add_argument("--output", default=str(common.REPO_DATA / "uniprot_output.csv"))
+    p.add_argument("--matrix", default="blosum50", choices=["blosum50", "blosum62", "uniform"])
+    p.add_argument("--gap-penalty", type=float, default=12.0)
+    p.add_argument("--top", type=int, default=10, help="print top-K hits")
+    p.add_argument("--limit", type=int, default=0, help="only first N proteins (0 = all)")
+    p.add_argument("--engine", default="auto", choices=["auto", "pallas", "scan"])
+    common.add_platform_flags(p)
+    args = p.parse_args(argv)
+    common.apply_platform(args)
+
+    query = read_fasta(args.query)
+    entries = list(iter_database(args.database))
+    if args.limit:
+        entries = entries[: args.limit]
+    print(f"solve_uniprot: query {len(query)}aa vs {len(entries)} proteins")
+
+    if args.matrix == "uniform":
+        from ..utils.config import ScoringConfig
+
+        cfg = ScoringConfig(gap_penalty=args.gap_penalty)
+    else:
+        cfg = blosum_config(args.matrix, gap_penalty=args.gap_penalty)
+    engine = make_score_engine(cfg, args.engine)
+
+    # Length-bucketed batches: sort by length, pad each batch to its own
+    # rounded max so compiled shapes stay few while padding waste stays low.
+    order = sorted(range(len(entries)), key=lambda k: len(entries[k][1]))
+    qb = to_bytes(query)
+    B = args.batch_size
+    results = [None] * len(entries)
+    cells = 0
+    t_total = 0.0
+    for s in range(0, len(order), B):
+        idxs = order[s : s + B]
+        seqs = [to_bytes(entries[k][1]) for k in idxs]
+        n = np.array([len(v) for v in seqs], np.int32)
+        N = _round_up(int(n.max()), 128)
+        ys = batch_pad(seqs, N, Y_PAD)
+        xs = np.broadcast_to(qb[None, :], (len(idxs), len(qb))).copy()
+        m = np.full(len(idxs), len(qb), np.int32)
+        t0 = time.perf_counter()
+        res = engine.score_batch(xs, ys, m, n)
+        score = np.asarray(res["score"])
+        jj = np.asarray(res["j"])
+        t_total += time.perf_counter() - t0
+        cells += len(qb) * int(n.sum())
+        for bi, k in enumerate(idxs):
+            results[k] = (int(score[bi]), int(jj[bi]))
+        done = min(s + B, len(order))
+        if s == 0 or done % (B * 8) == 0 or done == len(order):
+            print(f"progress: {done}/{len(order)}")
+
+    import os
+
+    os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
+    with open(args.output, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["name", "len", "score", "pos_end"])
+        for (name, seq), (score, pos) in zip(entries, results):
+            w.writerow([name, len(seq), score, pos])
+
+    gcups = cells / t_total / 1e9
+    print(f"Scored {cells/1e9:.3f} Gcells in {t_total:.3f}s: {gcups:.2f} GCUPS")
+    top = sorted(range(len(entries)), key=lambda k: -results[k][0])[: args.top]
+    print("top hits:")
+    for k in top:
+        name, seq = entries[k]
+        print(f"  {name}  len={len(seq)}  score={results[k][0]}  pos_end={results[k][1]}")
+    print(f"Done, output file see: {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

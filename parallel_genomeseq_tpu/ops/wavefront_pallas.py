@@ -49,6 +49,7 @@ from .scan_dp import _reduce_best
 
 LANE = 128  # lanes per grid block (VPU lane width)
 UNROLL = 8  # diagonals per aligned ref-char block
+MAX_M = 2048  # diagonal-axis cap: 5 int32 carries x M x 128 lanes must fit VMEM
 
 
 def _round_up(v: int, mult: int) -> int:
@@ -272,6 +273,12 @@ class PallasEngine:
         y_bn = np.asarray(y_bn, np.uint8)
         B0, M0 = x_bm.shape
         N0 = y_bn.shape[1]
+        if M0 > MAX_M:
+            raise ValueError(
+                f"read length {M0} > MAX_M {MAX_M}: the single-strip kernel "
+                "keeps whole diagonals in VMEM — use the scan engine (or the "
+                "strip kernel once available) for longer reads"
+            )
         M = _round_up(max(M0, 8), 8)
         # Ref-char rows padded to cover every aligned diagonal-block load:
         # nblk * UNROLL rows are touched, nblk = ceil((M + N) / UNROLL).
