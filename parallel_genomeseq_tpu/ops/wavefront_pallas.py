@@ -45,7 +45,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.config import ScoringConfig, Semantics
-from .scan_dp import _reduce_best
+from .scan_dp import _INT32_MAX, _reduce_best
 
 LANE = 128  # lanes per grid block (VPU lane width)
 UNROLL = 8  # diagonals per aligned ref-char block
@@ -208,6 +208,159 @@ def _call_profile(prof, ys, n, mrow, *, alphabet, worst, gap, interpret):
     )(prof, ys, n, mrow)
 
 
+# ---------------------------------------------------------------------------
+# Strip-mode kernel: reads longer than MAX_M are processed in strips of
+# STRIP_S rows. Strips are sequential (grid dim) and hand the DP boundary row
+# between each other through a persistent VMEM scratch buffer — the TPU
+# analog of blocked wavefront DP. The boundary row is stored int16 (H values
+# are bounded by match * read_len; the engine guards the bound).
+# ---------------------------------------------------------------------------
+
+STRIP_S = 256  # rows per strip (multiple of 8)
+STRIP_PADW = (STRIP_S - 2) % 8  # write offset making boundary stores aligned
+INT16_BOUND = 32000
+
+
+def _kernel_strips(x_ref, y_ref, n_ref, mrow_ref, best_ref, bestd_ref,
+                   lastrow_ref, *, nblk: int, match: int, mismatch: int,
+                   gap: int):
+    """One strip of the blocked wavefront.
+
+    Per local step d' (diagonal within the strip), the row-0 north/north-west
+    neighbors come from the previous strip's last row: s1[0] <- lastrow[d'+1]
+    and, via the carried shift, s2[0] <- lastrow[d']. The strip's own last
+    row is staged 8 steps at a time and stored back for the next strip.
+    Reads of lastrow always target rows >= current j while writes lag by
+    STRIP_S rows, so a single buffer serves both directions.
+    """
+    S, B = x_ref.shape
+    s_idx = pl.program_id(1)
+    x = x_ref[:].astype(jnp.int32)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (S, B), 0)
+    row0 = rr == 0
+    rowlast = rr == S - 1
+    rowmask = mrow_ref[:] != 0
+    n_row = n_ref[0, :][None, :]
+    N = y_ref.shape[0]
+
+    @pl.when(s_idx == 0)
+    def _():
+        lastrow_ref[:] = jnp.zeros_like(lastrow_ref)
+
+    zeros = jnp.zeros((S, B), jnp.int32)
+
+    def outer(o, carry):
+        h1, s2, best, bestd, ywin, stage = carry
+        base = pl.multiple_of(o * UNROLL, UNROLL)
+        blk = y_ref[pl.ds(base, UNROLL), :].astype(jnp.int32)
+        rblk = lastrow_ref[pl.ds(base, 2 * UNROLL), :].astype(jnp.int32)
+        for k in range(UNROLL):
+            d = o * UNROLL + k
+            yc = blk[k : k + 1, :]
+            ywin = pltpu.roll(ywin, 1, 0)
+            ywin = jnp.where(row0, yc, ywin)
+            sc = jnp.where(x == ywin, match, mismatch)
+            s1 = pltpu.roll(h1, 1, 0)
+            # Boundary insert: lastrow[j = d + 1] at p = j + STRIP_PADW.
+            north0 = rblk[k + STRIP_PADW + 1 : k + STRIP_PADW + 2, :]
+            s1 = jnp.where(row0, north0, s1)
+            hd = jnp.maximum(
+                jnp.maximum(s2 + sc, h1 - gap), jnp.maximum(s1 - gap, 0)
+            )
+            valid = (rr <= d) & rowmask & (rr >= d + 1 - n_row)
+            hd = jnp.where(valid, hd, 0)
+            upd = hd > best
+            best = jnp.where(upd, hd, best)
+            bestd = jnp.where(upd, d, bestd)
+            # Stage this step's strip-last-row cell (j = d - S + 2).
+            lastcell = jnp.sum(jnp.where(rowlast, hd, 0), axis=0, keepdims=True)
+            stage = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (UNROLL, B), 0) == k,
+                lastcell, stage,
+            )
+            s2 = s1
+            h1 = hd
+        # Store the staged 8 rows: j in [o*8 - S + 2, o*8 - S + 9] at
+        # p = j + STRIP_PADW, aligned by construction of STRIP_PADW.
+        p0 = o * UNROLL - STRIP_S + 2 + STRIP_PADW
+
+        @pl.when(p0 >= 0)
+        def _():
+            lastrow_ref[pl.ds(pl.multiple_of(p0, UNROLL), UNROLL), :] = (
+                stage.astype(lastrow_ref.dtype)
+            )
+
+        return h1, s2, best, bestd, ywin, stage
+
+    stage0 = jnp.zeros((UNROLL, B), jnp.int32)
+    _, _, best, bestd, _, _ = jax.lax.fori_loop(
+        0, nblk, outer, (zeros, zeros, zeros, zeros, zeros, stage0)
+    )
+    best_ref[:] = best
+    bestd_ref[:] = bestd
+
+
+@functools.partial(jax.jit, static_argnames=("match", "mismatch", "gap", "interpret"))
+def _call_strips(xs, ys, n, mrow, *, match, mismatch, gap, interpret):
+    M, B = xs.shape
+    Ny = ys.shape[0]
+    S = STRIP_S
+    nstrips = M // S
+    nblk = Ny // UNROLL  # covers all S + N - 1 strip diagonals by padding
+    kernel = functools.partial(
+        _kernel_strips, nblk=nblk, match=match, mismatch=mismatch, gap=gap
+    )
+    Nlr = Ny + 4 * UNROLL
+    best, bestd = pl.pallas_call(
+        kernel,
+        grid=(B // LANE, nstrips),
+        in_specs=[
+            pl.BlockSpec((S, LANE), lambda b, s: (s, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ny, LANE), lambda b, s: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANE), lambda b, s: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, LANE), lambda b, s: (s, b), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((S, LANE), lambda b, s: (s, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, LANE), lambda b, s: (s, b), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, B), jnp.int32),
+            jax.ShapeDtypeStruct((M, B), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((Nlr, LANE), jnp.int16)],
+        cost_estimate=pl.CostEstimate(
+            flops=16 * (M // S) * (S + Ny) * S * B,
+            bytes_accessed=M * B * 16, transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xs, ys, n, mrow)
+    return best, bestd
+
+
+@jax.jit
+def _reduce_best_strips(best, bestd, m, n):
+    """Per-lane (score, i, j) from strip-local diagonal indices: cell at
+    global row r has i = r + 1, j = bestd - (r % STRIP_S) + 1. Tie-break
+    matches _reduce_best: min j, then min i."""
+    M, B = best.shape
+    rr = jax.lax.broadcasted_iota(jnp.int32, (M, B), 0)
+    jj = bestd - (rr % STRIP_S) + 1
+    score = jnp.max(best, axis=0)
+    key = jj * (M + 2) + rr + 1
+    key = jnp.where(best == score[None, :], key, _INT32_MAX)
+    r_star = jnp.argmin(key, axis=0)
+    lanes = jnp.arange(B)
+    i_star = r_star + 1
+    j_star = jj[r_star, lanes]
+    nonzero = score > 0
+    return (
+        score,
+        jnp.where(nonzero, i_star, 0),
+        jnp.where(nonzero, j_star, 0),
+    )
+
+
 class PallasEngine:
     """Drop-in score engine with the ScanEngine result contract.
 
@@ -273,16 +426,28 @@ class PallasEngine:
         y_bn = np.asarray(y_bn, np.uint8)
         B0, M0 = x_bm.shape
         N0 = y_bn.shape[1]
-        if M0 > MAX_M:
-            raise ValueError(
-                f"read length {M0} > MAX_M {MAX_M}: the single-strip kernel "
-                "keeps whole diagonals in VMEM — use the scan engine (or the "
-                "strip kernel once available) for longer reads"
-            )
-        M = _round_up(max(M0, 8), 8)
-        # Ref-char rows padded to cover every aligned diagonal-block load:
-        # nblk * UNROLL rows are touched, nblk = ceil((M + N) / UNROLL).
-        Ny = _round_up(max(N0, 8) + M + UNROLL, UNROLL)
+        strips = M0 > MAX_M
+        if strips:
+            if not self.cfg.is_uniform:
+                raise ValueError(
+                    "strip-mode kernel supports uniform scoring only "
+                    "(long protein queries: use the scan engine)"
+                )
+            if int(self.cfg.match) * M0 > INT16_BOUND:
+                raise ValueError(
+                    f"match * read_len = {int(self.cfg.match) * M0} exceeds the "
+                    f"strip kernel's int16 boundary-row bound {INT16_BOUND}; "
+                    "use the scan engine"
+                )
+            M = _round_up(max(M0, STRIP_S), STRIP_S)
+            # Strip diagonals run to S + N - 1; y rows must cover the aligned
+            # block loads (nblk = Ny // UNROLL).
+            Ny = _round_up(max(N0, 8) + STRIP_S + 2 * UNROLL, UNROLL)
+        else:
+            M = _round_up(max(M0, 8), 8)
+            # Ref-char rows padded to cover every aligned diagonal-block load:
+            # nblk * UNROLL rows are touched, nblk = ceil((M + N) / UNROLL).
+            Ny = _round_up(max(N0, 8) + M + UNROLL, UNROLL)
         B = _round_up(max(B0, LANE), LANE)
         xs = np.full((M, B), 1, np.uint8)  # X_PAD
         xs[:M0, :B0] = x_bm.T
@@ -308,11 +473,20 @@ class PallasEngine:
         args = [first, ys, nn, mrow]
         if device:
             args = [jax.device_put(a) for a in args]
-        return {"args": args, "B0": B0}
+        return {"args": args, "B0": B0, "strips": strips,
+                "m": np.asarray(m, np.int32), "n": np.asarray(n, np.int32)}
 
     def score_prepared(self, prep):
         args = prep["args"]
         B0 = prep["B0"]
+        if prep.get("strips"):
+            best, bestd = _call_strips(
+                *args,
+                match=int(self.cfg.match), mismatch=int(self.cfg.mismatch),
+                gap=int(self.cfg.gap_penalty), interpret=self.interpret,
+            )
+            score, i, j = _reduce_best_strips(best, bestd, None, None)
+            return {"score": score[:B0], "i": i[:B0], "j": j[:B0]}
         if self.cfg.is_uniform:
             best, bestd = _call_uniform(
                 *args,

@@ -119,17 +119,18 @@ class ChunkedAligner:
             ys[k, : r - l] = ref_b[l:r]
 
         engine = self.engine
-        from ..ops.wavefront_pallas import MAX_M, PallasEngine
-
-        if isinstance(engine, PallasEngine) and M > MAX_M:
-            # Long reads exceed the single-strip kernel's VMEM budget; fall
-            # back to the scan wavefront (see wavefront_pallas.MAX_M).
+        t0 = time.perf_counter()
+        try:
+            res = engine.score_batch(xs, ys, m, n)
+        except ValueError:
+            # Configurations outside the Pallas kernels' envelope (e.g.
+            # substitution-matrix scoring on strip-length reads, or scores
+            # exceeding the int16 boundary bound) fall back to the scan
+            # wavefront, which has no such limits.
             if not hasattr(self, "_scan_fallback"):
                 self._scan_fallback = ScanEngine(self.cfg)
             engine = self._scan_fallback
-
-        t0 = time.perf_counter()
-        res = engine.score_batch(xs, ys, m, n)
+            res = engine.score_batch(xs, ys, m, n)
         scores = np.asarray(res["score"]).reshape(R, P)
         # First piece wins ties: argmax returns the first maximum.
         winner = np.argmax(scores, axis=1)
