@@ -28,7 +28,8 @@ import sys
 import time
 
 from ..models.swaligner import BatchSWAligner
-from ..seqio.readers import read_fasta, read_ground_truth
+from ..seqio.native_io import read_fasta
+from ..seqio.readers import read_ground_truth
 from ..seqio.writers import append_timing_row
 from . import common
 

@@ -28,7 +28,7 @@ import numpy as np
 
 from ..parallel.chunking import ChunkedAligner
 from ..seqio.datagen import gen_reads_custom, gen_ref_custom
-from ..seqio.readers import read_fasta
+from ..seqio.native_io import read_fasta
 from ..utils.config import ChunkConfig
 from . import common
 

@@ -31,7 +31,7 @@ import sys
 import numpy as np
 
 from ..parallel.mesh import MeshAligner, make_mesh
-from ..seqio.readers import read_fasta
+from ..seqio.native_io import read_fasta
 from ..utils.config import ChunkConfig
 from . import common
 

@@ -20,7 +20,8 @@ import time
 from ..models.swaligner import BatchSWAligner
 from ..parallel.chunking import ChunkedAligner
 from ..seqio.evaluate import check_parity
-from ..seqio.readers import read_fasta, read_ground_truth
+from ..seqio.native_io import read_fasta
+from ..seqio.readers import read_ground_truth
 from ..seqio.writers import write_align_output
 from . import common
 

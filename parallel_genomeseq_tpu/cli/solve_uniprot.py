@@ -28,7 +28,7 @@ import numpy as np
 
 from ..models.swaligner import make_score_engine
 from ..ops.substitution import blosum_config
-from ..seqio.readers import read_fasta
+from ..seqio.native_io import read_fasta
 from ..seqio.uniprot import iter_database
 from ..utils.encoding import X_PAD, Y_PAD, batch_pad, to_bytes
 from . import common
