@@ -33,6 +33,12 @@ def main(argv=None):
     p.add_argument("--output", default=str(common.REPO_DATA / "align_output.csv"))
     p.add_argument("--limit", type=int, default=0, help="align only the first N reads (0 = all)")
     p.add_argument("--eval", action="store_true", help="run position-parity check after writing")
+    p.add_argument(
+        "--parity-mode", choices=["exact", "skewed"], default="exact",
+        help="skewed = bit-parity with the reference's serial AVX2 build "
+        "(saturating uint8 + raw-layout argmax tie-break); exact = true "
+        "int32 scores (default, strictly better on ground-truth parity)",
+    )
     common.add_scoring_flags(p)
     common.add_chunk_flags(p, npiece_default=17)
     common.add_platform_flags(p)
@@ -47,7 +53,14 @@ def main(argv=None):
     print(f"solve_small: {len(reads)} reads vs {len(ref)}-bp reference")
 
     cfg = common.scoring_from_args(args)
-    if args.npiece > 1:
+    if args.parity_mode == "skewed":
+        from ..utils.config import Semantics
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, semantics=Semantics.SAT_UINT8)
+        aligner = BatchSWAligner(cfg, tie="skewed")
+        align = lambda batch: aligner.align_batch(batch, [ref])
+    elif args.npiece > 1:
         aligner = ChunkedAligner(cfg=cfg, chunk=common.chunk_from_args(args))
         align = lambda batch: aligner.align_batch(batch, ref)
     else:

@@ -67,12 +67,15 @@ class BatchSWAligner:
         pad_m: int = 8,
         pad_n: int = 128,
         score_engine: str = "auto",
+        tie: str = "colmajor",
     ):
         self.cfg = cfg
         self.pad_m = pad_m
         self.pad_n = pad_n
-        self.engine = ScanEngine(cfg)
-        self.scorer = make_score_engine(cfg, score_engine)
+        self.engine = ScanEngine(cfg, tie=tie)
+        self.scorer = (
+            self.engine if tie != "colmajor" else make_score_engine(cfg, score_engine)
+        )
 
     def align_batch(
         self,
@@ -135,8 +138,8 @@ class BatchSWAligner:
 class SWAligner:
     """Single-pair aligner with the reference's query surface."""
 
-    def __init__(self, cfg: ScoringConfig = ScoringConfig()):
-        self._batch = BatchSWAligner(cfg)
+    def __init__(self, cfg: ScoringConfig = ScoringConfig(), tie: str = "colmajor"):
+        self._batch = BatchSWAligner(cfg, tie=tie)
 
     def align(self, read: str, ref: str, traceback: bool = True) -> AlignResult:
         return self._batch.align_batch([read], [ref], traceback=traceback)[0]

@@ -89,11 +89,11 @@ STOP_BIT = np.uint8(4)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("semantics", "keep_matrix", "emit_moves"),
+    static_argnames=("semantics", "keep_matrix", "emit_moves", "tie"),
 )
 def _wavefront(
     x_mb, yr, m, n, table, gap, *, semantics: str, keep_matrix: bool,
-    emit_moves: bool = False,
+    emit_moves: bool = False, tie: str = "colmajor",
 ):
     """Scan all M+N-1 diagonals.
 
@@ -113,9 +113,22 @@ def _wavefront(
     rowmask = rr < m[None, :]  # (M, B)
 
     sat = semantics == Semantics.SAT_UINT8.value
+    skewed_tie = tie == "skewed"
+    if skewed_tie:
+        # Precomputed per-lane geometry for the reference's skewed raw
+        # layout (src/aligner/similaritymatrix.cpp:330-369 with the x/y swap
+        # at :274-285): nrows-1 = min(m, n), ncols-1 = max(m, n), and the
+        # raw row index depends on which side is shorter.
+        minmn = jnp.minimum(m, n)[None, :]  # (1, B)
+        maxmn = jnp.maximum(m, n)[None, :]
+        n_gt_m = (n > m)[None, :]
+        KEY_MULT = M + 33  # > any raw row index (nrows + 32 padding rows)
 
     def step(carry, d):
-        h1, h2, best, bestd = carry
+        if skewed_tie:
+            h1, h2, best, bestd, bestkey = carry
+        else:
+            h1, h2, best, bestd = carry
         ywin = jax.lax.dynamic_slice_in_dim(yr, N + M - 1 - d, M, axis=0)
         if sat:
             eq = x_mb == ywin
@@ -129,9 +142,32 @@ def _wavefront(
         hd = _dp_step(h1s, h1, h2s, (plus, minus), gap, semantics, dtype)
         valid = (rr <= d) & rowmask & (rr >= d + 1 - n[None, :])
         hd = jnp.where(valid, hd, jnp.asarray(0, dtype))
-        upd = hd > best  # strict: keeps the earliest diagonal (smallest j) on ties
-        best = jnp.where(upd, hd, best)
-        bestd = jnp.where(upd, d, bestd)
+        if skewed_tie:
+            # Eigen maxCoeff over the RAW skewed storage: first max in raw
+            # column-major order = min (raw col, raw row). Raw coords of
+            # cell (i = r+1, j = d-r+1) with s = i + j = d + 2:
+            ii = rr + 1
+            jj_cell = d - rr + 1
+            s = d + 2
+            ri = jnp.where(
+                n_gt_m,
+                jnp.where(
+                    s < minmn, jj_cell,
+                    jnp.where(s > maxmn, jj_cell - (n - m)[None, :], m[None, :] - ii),
+                ),
+                jj_cell,
+            )
+            rj = jnp.where(s <= maxmn, s, s - maxmn - 1)
+            rawkey = rj * KEY_MULT + ri
+            nonzero = hd > jnp.asarray(0, dtype)
+            upd = (hd > best) | ((hd == best) & nonzero & (rawkey < bestkey))
+            best = jnp.where(upd, hd, best)
+            bestd = jnp.where(upd, d, bestd)
+            bestkey = jnp.where(upd, rawkey, bestkey)
+        else:
+            upd = hd > best  # strict: keeps the earliest diagonal (smallest j) on ties
+            best = jnp.where(upd, hd, best)
+            bestd = jnp.where(upd, d, bestd)
         out = {}
         if keep_matrix:
             out["hstack"] = hd
@@ -145,9 +181,22 @@ def _wavefront(
             zero = jnp.asarray(0, dtype)
             stop = (n1 == zero) | (n2 == zero) | (n3 == zero)
             out["moves"] = mv | jnp.where(stop, STOP_BIT, np.uint8(0))
+        if skewed_tie:
+            return (hd, h1, best, bestd, bestkey), out
         return (hd, h1, best, bestd), out
 
     zeros = jnp.zeros((M, B), dtype)
+    if skewed_tie:
+        init = (
+            zeros, zeros, zeros, jnp.zeros((M, B), jnp.int32),
+            jnp.full((M, B), _INT32_MAX, jnp.int32),
+        )
+        (_, _, best, bestd, bestkey), outs = jax.lax.scan(
+            step, init, jnp.arange(D, dtype=jnp.int32)
+        )
+        outs = dict(outs or {})
+        outs["bestkey"] = bestkey
+        return best, bestd, outs
     init = (zeros, zeros, zeros, jnp.zeros((M, B), jnp.int32))
     (_, _, best, bestd), outs = jax.lax.scan(step, init, jnp.arange(D, dtype=jnp.int32))
     return best, bestd, outs
@@ -175,6 +224,24 @@ def _reduce_best(best, bestd):
     return score, i_star, j_star
 
 
+@jax.jit
+def _reduce_best_skewed(best, bestd, bestkey):
+    """Per-lane (score, i, j) with the reference's skewed raw-layout
+    tie-break: among max cells, minimum raw-storage key."""
+    score = jnp.max(best, axis=0)
+    key = jnp.where(best == score[None, :], bestkey, _INT32_MAX)
+    r_star = jnp.argmin(key, axis=0)
+    lanes = jnp.arange(best.shape[1])
+    i_star = r_star + 1
+    j_star = bestd[r_star, lanes] - r_star + 1
+    nonzero = score > 0
+    return (
+        score,
+        jnp.where(nonzero, i_star, 0),
+        jnp.where(nonzero, j_star, 0),
+    )
+
+
 class ScanEngine:
     """Batched wavefront engine over fixed padded shapes (M, N, B).
 
@@ -182,8 +249,15 @@ class ScanEngine:
     the same padded geometry. Semantics and scoring come from ScoringConfig.
     """
 
-    def __init__(self, cfg: ScoringConfig = ScoringConfig()):
+    def __init__(self, cfg: ScoringConfig = ScoringConfig(), tie: str = "colmajor"):
+        """tie: 'colmajor' (Eigen maxCoeff on the dense matrix — the
+        reference's float path) or 'skewed' (first max in the skewed RAW
+        storage's column-major order — the reference's AVX2 path,
+        src/aligner/similaritymatrix.cpp:291-299). Combine tie='skewed' with
+        Semantics.SAT_UINT8 for bit-parity with the reference's serial
+        sw_solve_small build."""
         self.cfg = cfg
+        self.tie = tie
         dt = cfg.dp_dtype()
         self._dtype = jnp.int32 if dt == np.uint8 else jnp.dtype(dt)
         if cfg.semantics == Semantics.SAT_UINT8:
@@ -225,9 +299,12 @@ class ScanEngine:
             x_mb, yr, jnp.asarray(m, jnp.int32), jnp.asarray(n, jnp.int32),
             self._table, self._gap,
             semantics=self.cfg.semantics.value, keep_matrix=keep_matrix,
-            emit_moves=emit_moves,
+            emit_moves=emit_moves, tie=self.tie,
         )
-        score, i, j = _reduce_best(best, bestd)
+        if self.tie == "skewed":
+            score, i, j = _reduce_best_skewed(best, bestd, outs.pop("bestkey"))
+        else:
+            score, i, j = _reduce_best(best, bestd)
         out = {"score": score, "i": i, "j": j}
         out.update(outs)
         return out

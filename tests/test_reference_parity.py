@@ -1,0 +1,59 @@
+"""Bit-parity with the reference C++ serial binary (skewed AVX2 path).
+
+Golden rows below were produced by building and running the reference's
+serial sw_solve_small (SWAligner<Similarity_Matrix_Skewed>, saturating uint8
++ raw-layout argmax) on data_small. Our skewed-parity mode
+(Semantics.SAT_UINT8 + tie='skewed') must reproduce pos_pred AND score
+bit-exactly — including the saturation plateaus at 255 and the raw-storage
+tie-break order. A full 1,170-row sweep was verified out-of-band; the test
+pins a representative slice (rows 0-9 plus rows whose saturated argmax
+lands far from the ground-truth POS).
+"""
+
+import csv
+
+import pytest
+
+from parallel_genomeseq_tpu.models.swaligner import BatchSWAligner
+from parallel_genomeseq_tpu.seqio.readers import read_fasta, read_ground_truth
+from parallel_genomeseq_tpu.utils.config import ScoringConfig, Semantics
+
+REF_FA = "/root/reference/data/data_small/genome.chr22.5K.fa"
+GT_CSV = "/root/reference/data/data_small_ground_truth.csv"
+
+# (row index, pos_pred, score) from the reference binary's align_output.csv.
+GOLDEN = [
+    (0, 2621, 255), (1, 2385, 255), (2, 1652, 255), (3, 1382, 255),
+    (4, 1914, 255), (5, 2203, 255), (6, 1602, 255), (7, 1408, 255),
+    (8, 1502, 255), (9, 1695, 255),
+    (13, 477, 255), (26, 1697, 255), (27, 837, 255), (28, 3245, 255),
+    (31, 1354, 255), (34, 1266, 255), (51, 2129, 255), (55, 2679, 255),
+]
+
+
+def test_skewed_parity_golden_rows():
+    ref = read_fasta(REF_FA)
+    rows = read_ground_truth(GT_CSV)
+    idxs = [g[0] for g in GOLDEN]
+    reads = [rows[i]["SEQ"] for i in idxs]
+    ba = BatchSWAligner(
+        ScoringConfig(semantics=Semantics.SAT_UINT8), tie="skewed"
+    )
+    res = ba.align_batch(reads, [ref])
+    for (i, want_pos, want_score), got in zip(GOLDEN, res):
+        assert got.pos == want_pos, f"row {i}"
+        assert int(got.score) == want_score, f"row {i}"
+
+
+def test_skewed_tie_vs_colmajor_differ():
+    """Sanity: the two tie-break orders pick different cells on saturated
+    plateaus (this is exactly the reference skewed-vs-float divergence)."""
+    ref = read_fasta(REF_FA)
+    rows = read_ground_truth(GT_CSV)
+    read = rows[26]["SEQ"]  # known divergent row (ref binary: 1697, exact: 3993)
+    sat = ScoringConfig(semantics=Semantics.SAT_UINT8)
+    skew = BatchSWAligner(sat, tie="skewed").align_batch([read], [ref])[0]
+    exact = BatchSWAligner(ScoringConfig()).align_batch([read], [ref])[0]
+    assert skew.pos == 1697
+    assert exact.pos == 3993
+    assert int(exact.score) == 375  # unsaturated true score
