@@ -57,9 +57,26 @@ def time_batch(engine, B, repeats=8):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="capture a jax.profiler trace of the timed region into DIR",
+    )
+    args = ap.parse_args()
+
     from parallel_genomeseq_tpu.utils.platform import setup_cache
 
     setup_cache()
+    profile_ctx = None
+    if args.profile:
+        import contextlib
+
+        import jax
+
+        profile_ctx = jax.profiler.trace(args.profile)
+        profile_ctx.__enter__()
 
     result = None
     for attempt in range(2):
@@ -93,6 +110,10 @@ def main():
         np.asarray(res["score"])
         dt = time.perf_counter() - t0
         result = ("scan", cells / dt / 1e9, cells / dt / 1e9)
+
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
+        print(f"# profiler trace written to {args.profile}", file=sys.stderr)
 
     name, kernel_gcups, e2e_gcups = result
     print(

@@ -43,6 +43,9 @@ def make_score_engine(cfg: ScoringConfig, name: str = "auto"):
             and cfg.is_integral
         )
         name = "pallas" if pallas_ok else "scan"
+        from ..utils.logging import vlog
+
+        vlog(f"score engine auto-selected: {name}")
     if name == "pallas":
         from ..ops.wavefront_pallas import PallasEngine
 

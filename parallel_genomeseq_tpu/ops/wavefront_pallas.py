@@ -470,6 +470,12 @@ class PallasEngine:
                 for ri, rb in enumerate(alpha):
                     lut[rb, ci] = S[ri, ci]
             first = np.transpose(lut[xs], (2, 0, 1)).copy()  # (A, M, B)
+        from ..utils.logging import vlog
+
+        vlog(
+            f"pallas prepare: mode={'strips' if strips else 'single'} "
+            f"M={M} Ny={Ny} B={B} (B0={B0})"
+        )
         args = [first, ys, nn, mrow]
         if device:
             args = [jax.device_put(a) for a in args]
