@@ -97,7 +97,7 @@ def main(argv=None):
     g = np.array(gcups_per_read)
     print(f"GCUPS mean {g.mean():.2f} std {g.std():.2f} (useful cells / wall time, batches of {args.batch_size})")
     # Reference efficiency model with a present-day per-chip kernel rate.
-    percore = 159.0  # measured Pallas kernel GCUPS on this chip (bench.py)
+    percore = 196.0  # measured Pallas kernel GCUPS on this chip (bench.py)
     model = npiece * percore / (len(ref) + 2 * (npiece - 1) * overlap) * len(ref) / npiece
     print(f"Overlap-efficiency model at {percore:.0f} GCUPS kernel rate: {model:.1f} GCUPS")
     return 0

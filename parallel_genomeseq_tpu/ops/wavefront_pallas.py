@@ -56,16 +56,24 @@ def _round_up(v: int, mult: int) -> int:
     return ((v + mult - 1) // mult) * mult
 
 
-def _make_body(score_of_window, y_ref, n_ref, mrow_ref, M: int, B: int):
+def _make_body(score_of_window, y_ref, M: int, B: int):
     """Shared recurrence: returns the outer-loop body over UNROLL-step blocks.
 
     score_of_window(ywin) -> (M, B) int32 substitution scores for the current
     diagonal's character pairs.
+
+    No validity mask: out-of-range cells need no explicit zeroing. The j < 1
+    region stays exactly 0 by propagation (its window chars are initial
+    zeros, which never match real sequence bytes, so every path value there
+    is max(<=0, 0) = 0 — the DP boundary for free). Cells beyond the true
+    read/ref lengths see pad-byte mismatches (X_PAD=1 vs Y_PAD=2 vs ASCII
+    never match), so with integral gap >= 1 and negative mismatch every step
+    away from the valid region strictly decreases the value — such cells can
+    never tie or beat the valid maximum, keeping score AND argmax exact.
+    The engine enforces the preconditions (PallasEngine guards).
     """
     rr = jax.lax.broadcasted_iota(jnp.int32, (M, B), 0)
     row0 = rr == 0
-    rowmask = mrow_ref[:] != 0
-    n_row = n_ref[0, :][None, :]  # (1, B)
 
     def outer(o, carry, *, gap):
         h1, s2, best, bestd, ywin = carry
@@ -82,8 +90,6 @@ def _make_body(score_of_window, y_ref, n_ref, mrow_ref, M: int, B: int):
             hd = jnp.maximum(
                 jnp.maximum(s2 + sc, h1 - gap), jnp.maximum(s1 - gap, 0)
             )
-            valid = (rr <= d) & rowmask & (rr >= d + 1 - n_row)
-            hd = jnp.where(valid, hd, 0)
             upd = hd > best
             best = jnp.where(upd, hd, best)
             bestd = jnp.where(upd, d, bestd)
@@ -94,7 +100,7 @@ def _make_body(score_of_window, y_ref, n_ref, mrow_ref, M: int, B: int):
     return outer
 
 
-def _kernel_uniform(x_ref, y_ref, n_ref, mrow_ref, best_ref, bestd_ref,
+def _kernel_uniform(x_ref, y_ref, best_ref, bestd_ref,
                     *, nblk: int, match: int, mismatch: int, gap: int):
     M, B = x_ref.shape
     x = x_ref[:].astype(jnp.int32)
@@ -102,7 +108,7 @@ def _kernel_uniform(x_ref, y_ref, n_ref, mrow_ref, best_ref, bestd_ref,
     def score_of_window(ywin):
         return jnp.where(x == ywin, match, mismatch)
 
-    outer = _make_body(score_of_window, y_ref, n_ref, mrow_ref, M, B)
+    outer = _make_body(score_of_window, y_ref, M, B)
     zeros = jnp.zeros((M, B), jnp.int32)
     init = (zeros, zeros, zeros, zeros, zeros)
     _, _, best, bestd, _ = jax.lax.fori_loop(
@@ -112,7 +118,7 @@ def _kernel_uniform(x_ref, y_ref, n_ref, mrow_ref, best_ref, bestd_ref,
     bestd_ref[:] = bestd
 
 
-def _kernel_profile(prof_ref, y_ref, n_ref, mrow_ref, best_ref, bestd_ref,
+def _kernel_profile(prof_ref, y_ref, best_ref, bestd_ref,
                     *, nblk: int, alphabet: Tuple[int, ...], worst: int,
                     gap: int):
     """Substitution-matrix scoring via per-read score profiles:
@@ -128,7 +134,7 @@ def _kernel_profile(prof_ref, y_ref, n_ref, mrow_ref, best_ref, bestd_ref,
             sc = jnp.where(ywin == np.int32(alphabet[c]), prof[c], sc)
         return sc
 
-    outer = _make_body(score_of_window, y_ref, n_ref, mrow_ref, M, B)
+    outer = _make_body(score_of_window, y_ref, M, B)
     zeros = jnp.zeros((M, B), jnp.int32)
     init = (zeros, zeros, zeros, zeros, zeros)
     _, _, best, bestd, _ = jax.lax.fori_loop(
@@ -141,8 +147,6 @@ def _kernel_profile(prof_ref, y_ref, n_ref, mrow_ref, best_ref, bestd_ref,
 def _common_specs(M, Ny):
     tail = [
         pl.BlockSpec((Ny, LANE), lambda b: (0, b), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, LANE), lambda b: (0, b), memory_space=pltpu.VMEM),
-        pl.BlockSpec((M, LANE), lambda b: (0, b), memory_space=pltpu.VMEM),
     ]
     out_specs = [
         pl.BlockSpec((M, LANE), lambda b: (0, b), memory_space=pltpu.VMEM),
@@ -152,7 +156,7 @@ def _common_specs(M, Ny):
 
 
 @functools.partial(jax.jit, static_argnames=("match", "mismatch", "gap", "interpret"))
-def _call_uniform(xs, ys, n, mrow, *, match, mismatch, gap, interpret):
+def _call_uniform(xs, ys, *, match, mismatch, gap, interpret):
     M, B = xs.shape
     Ny = ys.shape[0]
     D = M + (Ny - M) - 1  # true diagonals; ys rows are padded to M + N
@@ -177,11 +181,11 @@ def _call_uniform(xs, ys, n, mrow, *, match, mismatch, gap, interpret):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xs, ys, n, mrow)
+    )(xs, ys)
 
 
 @functools.partial(jax.jit, static_argnames=("alphabet", "worst", "gap", "interpret"))
-def _call_profile(prof, ys, n, mrow, *, alphabet, worst, gap, interpret):
+def _call_profile(prof, ys, *, alphabet, worst, gap, interpret):
     A, M, B = prof.shape
     Ny = ys.shape[0]
     nblk = (M + Ny + UNROLL - 2) // UNROLL
@@ -205,7 +209,7 @@ def _call_profile(prof, ys, n, mrow, *, alphabet, worst, gap, interpret):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(prof, ys, n, mrow)
+    )(prof, ys)
 
 
 # ---------------------------------------------------------------------------
@@ -221,7 +225,7 @@ STRIP_PADW = (STRIP_S - 2) % 8  # write offset making boundary stores aligned
 INT16_BOUND = 32000
 
 
-def _kernel_strips(x_ref, y_ref, n_ref, mrow_ref, best_ref, bestd_ref,
+def _kernel_strips(x_ref, y_ref, best_ref, bestd_ref,
                    lastrow_ref, *, nblk: int, match: int, mismatch: int,
                    gap: int):
     """One strip of the blocked wavefront.
@@ -239,8 +243,6 @@ def _kernel_strips(x_ref, y_ref, n_ref, mrow_ref, best_ref, bestd_ref,
     rr = jax.lax.broadcasted_iota(jnp.int32, (S, B), 0)
     row0 = rr == 0
     rowlast = rr == S - 1
-    rowmask = mrow_ref[:] != 0
-    n_row = n_ref[0, :][None, :]
     N = y_ref.shape[0]
 
     @pl.when(s_idx == 0)
@@ -267,8 +269,6 @@ def _kernel_strips(x_ref, y_ref, n_ref, mrow_ref, best_ref, bestd_ref,
             hd = jnp.maximum(
                 jnp.maximum(s2 + sc, h1 - gap), jnp.maximum(s1 - gap, 0)
             )
-            valid = (rr <= d) & rowmask & (rr >= d + 1 - n_row)
-            hd = jnp.where(valid, hd, 0)
             upd = hd > best
             best = jnp.where(upd, hd, best)
             bestd = jnp.where(upd, d, bestd)
@@ -301,7 +301,7 @@ def _kernel_strips(x_ref, y_ref, n_ref, mrow_ref, best_ref, bestd_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("match", "mismatch", "gap", "interpret"))
-def _call_strips(xs, ys, n, mrow, *, match, mismatch, gap, interpret):
+def _call_strips(xs, ys, *, match, mismatch, gap, interpret):
     M, B = xs.shape
     Ny = ys.shape[0]
     S = STRIP_S
@@ -317,8 +317,6 @@ def _call_strips(xs, ys, n, mrow, *, match, mismatch, gap, interpret):
         in_specs=[
             pl.BlockSpec((S, LANE), lambda b, s: (s, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((Ny, LANE), lambda b, s: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANE), lambda b, s: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, LANE), lambda b, s: (s, b), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((S, LANE), lambda b, s: (s, b), memory_space=pltpu.VMEM),
@@ -334,7 +332,7 @@ def _call_strips(xs, ys, n, mrow, *, match, mismatch, gap, interpret):
             bytes_accessed=M * B * 16, transcendentals=0,
         ),
         interpret=interpret,
-    )(xs, ys, n, mrow)
+    )(xs, ys)
     return best, bestd
 
 
@@ -377,6 +375,17 @@ class PallasEngine:
             )
         if not cfg.is_integral:
             raise ValueError("PallasEngine requires integral scoring parameters")
+        # Mask-free kernel preconditions (see _make_body): strictly negative
+        # mismatch / off-worst scores and gap >= 1 guarantee out-of-range
+        # cells decay strictly below any valid maximum.
+        if int(cfg.gap_penalty) < 1:
+            raise ValueError("PallasEngine requires gap_penalty >= 1 (use ScanEngine)")
+        if cfg.is_uniform:
+            if int(cfg.mismatch) >= 0:
+                raise ValueError("PallasEngine requires mismatch < 0 (use ScanEngine)")
+        else:
+            if int(np.asarray(cfg.matrix).min()) >= 0:
+                raise ValueError("PallasEngine requires a negative worst matrix entry (use ScanEngine)")
         self.cfg = cfg
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
@@ -453,12 +462,6 @@ class PallasEngine:
         xs[:M0, :B0] = x_bm.T
         ys = np.full((Ny, B), 2, np.uint8)  # Y_PAD
         ys[:N0, :B0] = y_bn.T
-        nn = np.zeros((1, B), np.int32)
-        nn[0, :B0] = np.asarray(n, np.int32)
-        mm = np.zeros((B,), np.int32)
-        mm[:B0] = np.asarray(m, np.int32)
-        mrow = (np.arange(M)[:, None] < mm[None, :]).astype(np.int32)
-
         if self.cfg.is_uniform:
             first = xs
         else:
@@ -476,7 +479,7 @@ class PallasEngine:
             f"pallas prepare: mode={'strips' if strips else 'single'} "
             f"M={M} Ny={Ny} B={B} (B0={B0})"
         )
-        args = [first, ys, nn, mrow]
+        args = [first, ys]
         if device:
             args = [jax.device_put(a) for a in args]
         return {"args": args, "B0": B0, "strips": strips,
