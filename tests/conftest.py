@@ -36,3 +36,11 @@ def random_dna(rng, n: int) -> str:
 
 def random_protein(rng, n: int) -> str:
     return "".join(rng.choice(list("ARNDCQEGHILKMFPSTWYV"), size=n))
+
+import os
+import pytest
+
+needs_reference_data = pytest.mark.skipif(
+    not os.path.isdir("/root/reference/data"),
+    reason="reference dataset not available",
+)

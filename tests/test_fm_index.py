@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+from conftest import needs_reference_data
+
 from conftest import random_dna
 from parallel_genomeseq_tpu.models.fm_index import FMIndex, _suffix_array
 
@@ -48,6 +50,7 @@ def test_seeds_anchor_read(rng):
     assert any(pos - off == 200 for off, pos in seeds)
 
 
+@needs_reference_data
 def test_genome_scale():
     from parallel_genomeseq_tpu.seqio.readers import read_fasta
 

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+from conftest import needs_reference_data
+
 from parallel_genomeseq_tpu.native import lib
 from parallel_genomeseq_tpu.seqio import native_io, readers
 
@@ -14,10 +16,12 @@ def test_native_builds():
     assert lib() is not None, "native library failed to build"
 
 
+@needs_reference_data
 def test_read_fasta_matches_python():
     assert native_io.read_fasta(REF_FA) == readers.read_fasta(REF_FA)
 
 
+@needs_reference_data
 def test_parse_gt_csv_matches_python():
     seq, lens, pos = native_io.parse_gt_csv(GT_CSV, seq_cap=256)
     rows = readers.read_ground_truth(GT_CSV)
@@ -42,6 +46,7 @@ def test_fixed_records_roundtrip(tmp_path):
         assert got[k].tobytes() == recs[3 + k]
 
 
+@needs_reference_data
 def test_write_align_output_matches_schema(tmp_path):
     out = tmp_path / "ao.csv"
     n = 1170

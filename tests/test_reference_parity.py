@@ -14,6 +14,8 @@ import csv
 
 import pytest
 
+from conftest import needs_reference_data
+
 from parallel_genomeseq_tpu.models.swaligner import BatchSWAligner
 from parallel_genomeseq_tpu.seqio.readers import read_fasta, read_ground_truth
 from parallel_genomeseq_tpu.utils.config import ScoringConfig, Semantics
@@ -31,6 +33,7 @@ GOLDEN = [
 ]
 
 
+@needs_reference_data
 def test_skewed_parity_golden_rows():
     ref = read_fasta(REF_FA)
     rows = read_ground_truth(GT_CSV)
@@ -45,6 +48,7 @@ def test_skewed_parity_golden_rows():
         assert int(got.score) == want_score, f"row {i}"
 
 
+@needs_reference_data
 def test_skewed_tie_vs_colmajor_differ():
     """Sanity: the two tie-break orders pick different cells on saturated
     plateaus (this is exactly the reference skewed-vs-float divergence)."""
