@@ -48,6 +48,12 @@ def main(argv=None):
     p.add_argument("--top", type=int, default=10, help="print top-K hits")
     p.add_argument("--limit", type=int, default=0, help="only first N proteins (0 = all)")
     p.add_argument("--engine", default="auto", choices=["auto", "pallas", "scan"])
+    p.add_argument(
+        "--num-processes", type=int, default=1,
+        help="shard the database across N processes (the reference's "
+        "files_per_rank sharding, mpi_sw_solve_uniprot.cpp:71-99)",
+    )
+    p.add_argument("--process-id", type=int, default=0)
     common.add_platform_flags(p)
     args = p.parse_args(argv)
     common.apply_platform(args)
@@ -56,6 +62,16 @@ def main(argv=None):
     entries = list(iter_database(args.database))
     if args.limit:
         entries = entries[: args.limit]
+    total = len(entries)
+    if args.num_processes > 1:
+        per = (total + args.num_processes - 1) // args.num_processes
+        lo = args.process_id * per
+        entries = entries[lo : lo + per]
+        print(
+            f"solve_uniprot: process {args.process_id}/{args.num_processes}, "
+            f"{len(entries)}/{total} proteins local"
+        )
+        args.output = f"{args.output}.part{args.process_id}"
     print(f"solve_uniprot: query {len(query)}aa vs {len(entries)} proteins")
 
     if args.matrix == "uniform":

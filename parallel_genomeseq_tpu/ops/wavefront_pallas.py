@@ -75,7 +75,7 @@ def _make_body(score_of_window, y_ref, M: int, B: int):
     rr = jax.lax.broadcasted_iota(jnp.int32, (M, B), 0)
     row0 = rr == 0
 
-    def outer(o, carry, *, gap):
+    def outer(o, carry, *, gap, track_pos=True):
         h1, s2, best, bestd, ywin = carry
         base = pl.multiple_of(o * UNROLL, UNROLL)
         blk = y_ref[pl.ds(base, UNROLL), :].astype(jnp.int32)  # (8, B)
@@ -90,9 +90,14 @@ def _make_body(score_of_window, y_ref, M: int, B: int):
             hd = jnp.maximum(
                 jnp.maximum(s2 + sc, h1 - gap), jnp.maximum(s1 - gap, 0)
             )
-            upd = hd > best
-            best = jnp.where(upd, hd, best)
-            bestd = jnp.where(upd, d, bestd)
+            if track_pos:
+                upd = hd > best
+                best = jnp.where(upd, hd, best)
+                bestd = jnp.where(upd, d, bestd)
+            else:
+                # Score-only mode (chunked winner selection): skip the
+                # argmax bookkeeping, ~15% fewer ops in the hot loop.
+                best = jnp.maximum(best, hd)
             s2 = s1
             h1 = hd
         return h1, s2, best, bestd, ywin
@@ -101,7 +106,8 @@ def _make_body(score_of_window, y_ref, M: int, B: int):
 
 
 def _kernel_uniform(x_ref, y_ref, best_ref, bestd_ref,
-                    *, nblk: int, match: int, mismatch: int, gap: int):
+                    *, nblk: int, match: int, mismatch: int, gap: int,
+                    track_pos: bool = True):
     M, B = x_ref.shape
     x = x_ref[:].astype(jnp.int32)
 
@@ -112,7 +118,7 @@ def _kernel_uniform(x_ref, y_ref, best_ref, bestd_ref,
     zeros = jnp.zeros((M, B), jnp.int32)
     init = (zeros, zeros, zeros, zeros, zeros)
     _, _, best, bestd, _ = jax.lax.fori_loop(
-        0, nblk, functools.partial(outer, gap=gap), init
+        0, nblk, functools.partial(outer, gap=gap, track_pos=track_pos), init
     )
     best_ref[:] = best
     bestd_ref[:] = bestd
@@ -155,15 +161,16 @@ def _common_specs(M, Ny):
     return tail, out_specs
 
 
-@functools.partial(jax.jit, static_argnames=("match", "mismatch", "gap", "interpret"))
-def _call_uniform(xs, ys, *, match, mismatch, gap, interpret):
+@functools.partial(jax.jit, static_argnames=("match", "mismatch", "gap", "interpret", "track_pos"))
+def _call_uniform(xs, ys, *, match, mismatch, gap, interpret, track_pos=True):
     M, B = xs.shape
     Ny = ys.shape[0]
     D = M + (Ny - M) - 1  # true diagonals; ys rows are padded to M + N
     nblk = (M + Ny + UNROLL - 2) // UNROLL  # covers all diagonals
     nblk = min(nblk, Ny // UNROLL)  # aligned loads must stay in bounds
     kernel = functools.partial(
-        _kernel_uniform, nblk=nblk, match=match, mismatch=mismatch, gap=gap
+        _kernel_uniform, nblk=nblk, match=match, mismatch=mismatch, gap=gap,
+        track_pos=track_pos,
     )
     tail, out_specs = _common_specs(M, Ny)
     x_spec = pl.BlockSpec((M, LANE), lambda b: (0, b), memory_space=pltpu.VMEM)
@@ -422,10 +429,10 @@ class PallasEngine:
                 )
         self._checked = True
 
-    def score_batch(self, x_bm, y_bn, m, n):
+    def score_batch(self, x_bm, y_bn, m, n, need_pos: bool = True):
         if not self._checked:
             self.self_check()
-        return self.score_prepared(self.prepare(x_bm, y_bn, m, n))
+        return self.score_prepared(self.prepare(x_bm, y_bn, m, n), need_pos=need_pos)
 
     def prepare(self, x_bm, y_bn, m, n, device: bool = False):
         """Pad/transpose inputs into kernel layout. With device=True the
@@ -485,7 +492,7 @@ class PallasEngine:
         return {"args": args, "B0": B0, "strips": strips,
                 "m": np.asarray(m, np.int32), "n": np.asarray(n, np.int32)}
 
-    def score_prepared(self, prep):
+    def score_prepared(self, prep, need_pos: bool = True):
         args = prep["args"]
         B0 = prep["B0"]
         if prep.get("strips"):
@@ -501,6 +508,7 @@ class PallasEngine:
                 *args,
                 match=int(self.cfg.match), mismatch=int(self.cfg.mismatch),
                 gap=int(self.cfg.gap_penalty), interpret=self.interpret,
+                track_pos=need_pos,
             )
         else:
             alpha = tuple(self.cfg.alphabet.encode("ascii"))
@@ -509,5 +517,10 @@ class PallasEngine:
                 *args, alphabet=alpha, worst=worst,
                 gap=int(self.cfg.gap_penalty), interpret=self.interpret,
             )
+        if not need_pos:
+            # Score-only kernels don't track argmax; i/j are not meaningful.
+            score = jnp.max(best, axis=0)
+            z = jnp.zeros_like(score)
+            return {"score": score[:B0], "i": z[:B0], "j": z[:B0]}
         score, i, j = _reduce_best(best, bestd)
         return {"score": score[:B0], "i": i[:B0], "j": j[:B0]}

@@ -121,7 +121,14 @@ class ChunkedAligner:
         engine = self.engine
         t0 = time.perf_counter()
         try:
-            res = engine.score_batch(xs, ys, m, n)
+            # Winner selection needs scores only; positions come from the
+            # winner re-run below (score-only kernels skip argmax tracking).
+            from ..ops.wavefront_pallas import PallasEngine as _PE
+
+            if isinstance(engine, _PE):
+                res = engine.score_batch(xs, ys, m, n, need_pos=False)
+            else:
+                res = engine.score_batch(xs, ys, m, n)
         except ValueError:
             # Configurations outside the Pallas kernels' envelope (e.g.
             # substitution-matrix scoring on strip-length reads, or scores

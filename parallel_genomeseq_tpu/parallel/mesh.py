@@ -103,12 +103,10 @@ class MeshAligner:
         chunk_cfg: ChunkConfig = ChunkConfig(npiece=8, overlap_ratio=2.0),
         mesh: Optional[Mesh] = None,
     ):
-        if not cfg.is_integral or not cfg.is_uniform:
-            # Keep the distributed path simple in round 1: uniform integral
-            # scoring (the substitution path runs through the same machinery
-            # once profiles are plumbed through shard_map).
-            if not cfg.is_integral:
-                raise ValueError("MeshAligner requires integral scoring")
+        if not cfg.is_integral:
+            # The (256,256) byte score table is int32 inside the kernel;
+            # uniform and substitution-matrix scoring both route through it.
+            raise ValueError("MeshAligner requires integral scoring")
         self.cfg = cfg
         self.chunk_cfg = chunk_cfg
         self.mesh = mesh if mesh is not None else make_mesh()

@@ -66,3 +66,22 @@ def test_graft_entry_points():
     score, i, j = jax.jit(fn)(*args)
     assert score.shape == (args[0].shape[1],)
     mod.dryrun_multichip(8)
+
+
+def test_mesh_substitution_scoring(rng):
+    """Distributed chunk-sharded scoring with a BLOSUM matrix — the UNIPROT
+    multi-host configuration (custom scoring + chunk-sharded merge)."""
+    from parallel_genomeseq_tpu.ops.substitution import blosum_config
+
+    alpha = list("ARNDCQEGHILKMFPSTWYV")
+    ref = "".join(rng.choice(alpha, 300))
+    reads = ["".join(rng.choice(alpha, 25)) for _ in range(3)] + [ref[90:115]]
+    cfg = blosum_config("blosum62", gap_penalty=4.0)
+    al = MeshAligner(
+        cfg=cfg, chunk_cfg=ChunkConfig(npiece=4, overlap_ratio=2.0),
+        mesh=make_mesh(8),
+    )
+    out = al.score_reads(reads, ref)
+    for k, r in enumerate(reads):
+        _, _, ov = oracle.find_max(oracle.sw_matrix(r, ref, cfg))
+        assert int(out["score"][k]) == ov, k
