@@ -32,7 +32,6 @@ import numpy as np
 
 from ..parallel.mesh import MeshAligner, make_mesh
 from ..seqio.native_io import read_fasta
-from ..utils.config import ChunkConfig
 from . import common
 
 

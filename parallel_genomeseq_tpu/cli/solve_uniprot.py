@@ -30,7 +30,7 @@ from ..models.swaligner import make_score_engine
 from ..ops.substitution import blosum_config
 from ..seqio.native_io import read_fasta
 from ..seqio.uniprot import iter_database
-from ..utils.encoding import X_PAD, Y_PAD, batch_pad, to_bytes
+from ..utils.encoding import Y_PAD, batch_pad, to_bytes
 from . import common
 
 

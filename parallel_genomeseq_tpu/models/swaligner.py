@@ -14,7 +14,7 @@ a batched on-device traceback walk (ops/traceback) and host string assembly.
 from __future__ import annotations
 
 import time
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 
@@ -107,7 +107,14 @@ class BatchSWAligner:
         else:
             res = self.scorer.score_batch(xs, ys, m, n)
         if traceback:
-            max_steps = 3 * M + 8
+            # Walk-length bound: <= M diagonal/north moves plus at most
+            # score/gap west moves (score <= match * M), capped by the
+            # geometric bound i0 + j0 <= M + N.
+            gap = max(float(self.cfg.gap_penalty), 1e-9)
+            match = max(float(self.cfg.match), 1.0) if self.cfg.is_uniform else float(
+                np.asarray(self.cfg.matrix).max()
+            )
+            max_steps = min(int(M + match * M / gap) + 8, M + N + 1)
             pos, cx, cy, steps = walk_moves(
                 res["moves"], np.ascontiguousarray(xs.T), ys,
                 res["i"], res["j"], max_steps=max_steps,

@@ -38,7 +38,6 @@ first, then smallest read index i.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -323,7 +322,7 @@ def hstack_to_matrix(hstack, m: int, n: int, lane: int = 0) -> np.ndarray:
 
 def sw_matrix_scan(x, y, cfg: ScoringConfig = ScoringConfig()) -> np.ndarray:
     """Single-pair convenience: full (m+1, n+1) DP matrix via the scan path."""
-    from ..utils.encoding import to_bytes, pad_to, X_PAD
+    from ..utils.encoding import to_bytes
 
     xb = to_bytes(x) if isinstance(x, str) else np.asarray(x, np.uint8)
     yb = to_bytes(y) if isinstance(y, str) else np.asarray(y, np.uint8)

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .scan_dp import MOVE_N, MOVE_NW, MOVE_W, STOP_BIT
+from .scan_dp import MOVE_N, MOVE_W, STOP_BIT
 
 GAP_BYTE = np.uint8(ord("-"))
 
@@ -47,12 +47,12 @@ def walk_moves(moves, x_mb, y_bn, i0, j0, *, max_steps: int):
     cx0 = jnp.zeros((max_steps, B), jnp.uint8)
     cy0 = jnp.zeros((max_steps, B), jnp.uint8)
 
-    def cond(state):
-        it, i, j, pos, active, cx, cy, steps = state
-        return jnp.any(active)
-
-    def body(state):
-        it, i, j, pos, active, cx, cy, steps = state
+    # Fixed-trip fori_loop rather than a data-dependent while_loop: inactive
+    # lanes are masked, and a static trip count avoids per-iteration
+    # condition evaluation (which some remote execution paths turn into a
+    # host round trip per step).
+    def body(it, state):
+        i, j, pos, active, cx, cy, steps = state
         d = jnp.clip(i + j - 2, 0, moves.shape[0] - 1)
         r = jnp.clip(i - 1, 0, M - 1)
         mv = moves[d, r, lanes]  # (B,) gather
@@ -74,16 +74,16 @@ def walk_moves(moves, x_mb, y_bn, i0, j0, *, max_steps: int):
         i = jnp.where(active & ~stop, i - di, i)
         j = jnp.where(active & ~stop, j - dj, j)
         active = active & ~stop
-        return (it + 1, i, j, pos, active, cx, cy, steps)
+        return (i, j, pos, active, cx, cy, steps)
 
     i0 = jnp.asarray(i0, jnp.int32)
     j0 = jnp.asarray(j0, jnp.int32)
     active0 = i0 > 0
     state = (
-        jnp.int32(0), i0, j0, jnp.zeros((B,), jnp.int32), active0, cx0, cy0,
+        i0, j0, jnp.zeros((B,), jnp.int32), active0, cx0, cy0,
         jnp.zeros((B,), jnp.int32),
     )
-    _, _, _, pos, _, cx, cy, steps = jax.lax.while_loop(cond, body, state)
+    _, _, pos, _, cx, cy, steps = jax.lax.fori_loop(0, max_steps, body, state)
     return pos, cx, cy, steps
 
 

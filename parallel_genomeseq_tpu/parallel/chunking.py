@@ -22,7 +22,6 @@ import numpy as np
 
 from ..models.swaligner import BatchSWAligner
 from ..ops.scan_dp import ScanEngine
-from ..ops.traceback import decode_consensus, walk_moves
 from ..utils.config import ChunkConfig, ScoringConfig
 from ..utils.encoding import X_PAD, Y_PAD, batch_pad, to_bytes
 from ..utils.result import AlignResult

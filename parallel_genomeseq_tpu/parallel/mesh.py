@@ -20,15 +20,15 @@ host-platform CPU mesh (tests use 8 virtual CPU devices).
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..utils.config import ChunkConfig, ScoringConfig
-from ..utils.encoding import X_PAD, Y_PAD, batch_pad, to_bytes
+from ..utils.encoding import X_PAD, Y_PAD, to_bytes
 from .chunking import make_string_ranges
 
 # Merge-key packing: score * PIECE_SLOTS + (PIECE_SLOTS - 1 - piece) makes

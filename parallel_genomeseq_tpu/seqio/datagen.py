@@ -12,7 +12,6 @@
 from __future__ import annotations
 
 import csv
-from pathlib import Path
 from typing import Optional
 
 import numpy as np

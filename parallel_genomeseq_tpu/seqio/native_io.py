@@ -8,7 +8,6 @@ so the framework works on compiler-less hosts.
 from __future__ import annotations
 
 import ctypes
-from typing import List, Optional, Tuple
 
 import numpy as np
 

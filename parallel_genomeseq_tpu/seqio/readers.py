@@ -15,8 +15,7 @@ from __future__ import annotations
 
 import csv
 import dataclasses
-from pathlib import Path
-from typing import Dict, Iterator, List
+from typing import Dict, List
 
 SAM_FIELDS = (
     "QNAME", "FLAG", "RNAME", "POS", "MAPQ", "CIGAR",

@@ -10,7 +10,7 @@ column. We keep the exact column schema (header gains ``,pos_pred,score``).
 from __future__ import annotations
 
 import csv
-from typing import Iterable, Sequence
+from typing import Sequence
 
 from ..utils.result import AlignResult
 
