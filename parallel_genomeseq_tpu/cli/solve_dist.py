@@ -37,12 +37,32 @@ from . import common
 
 def read_slice(path, process_id: int, num_processes: int):
     """Contiguous per-process slice of a line-per-read file (the MPI-IO
-    record-slicing pattern, src/mpi_sw_solve_small.cpp:49-59)."""
-    with open(path) as f:
-        reads = [l.strip() for l in f if l.strip()]
-    per = (len(reads) + num_processes - 1) // num_processes
+    record-slicing pattern, src/mpi_sw_solve_small.cpp:49-59). Uses the
+    native positioned fixed-record reader when records are uniform (the
+    usual case: fastq_to_lines output), so each process reads only its own
+    byte range like MPI_File_read_at_all."""
+    from ..seqio import native_io
+
+    with open(path, "rb") as f:
+        first = f.readline()
+    rec = len(first)  # payload + newline
+    total = native_io.count_records(path, rec)
+    per = (total + num_processes - 1) // num_processes
     lo = process_id * per
-    return reads, reads[lo : lo + per], lo
+    block = native_io.read_records(path, rec, lo, per)
+    # Uniform-record fast path: verify by re-decoding; fall back to the
+    # whole-file line reader for ragged reads.
+    local = ["".join(map(chr, row)).strip() for row in block]
+    if all(len(r) == rec - 1 for r in local) or num_processes == 1:
+        n_total = total
+    else:
+        with open(path) as f:
+            reads = [l.strip() for l in f if l.strip()]
+        per = (len(reads) + num_processes - 1) // num_processes
+        lo = process_id * per
+        local = reads[lo : lo + per]
+        n_total = len(reads)
+    return n_total, local, lo
 
 
 def main(argv=None):
@@ -68,12 +88,12 @@ def main(argv=None):
         )
 
     ref = read_fasta(args.ref)
-    all_reads, local_reads, offset = read_slice(
+    n_total, local_reads, offset = read_slice(
         args.reads, args.process_id, args.num_processes
     )
     print(
         f"solve_dist: process {args.process_id}/{args.num_processes}, "
-        f"{len(local_reads)}/{len(all_reads)} reads local, ref {len(ref)} bp"
+        f"{len(local_reads)}/{n_total} reads local, ref {len(ref)} bp"
     )
 
     aligner = MeshAligner(

@@ -102,8 +102,28 @@ class BatchSWAligner:
         ys = batch_pad(yb, N, Y_PAD)
 
         t0 = time.perf_counter()
+        pallas_moves = False
         if traceback:
-            res = self.engine.score_batch(xs, ys, m, n, emit_moves=True)
+            from ..ops.wavefront_pallas import MAX_M, PallasEngine
+
+            if (
+                isinstance(self.scorer, PallasEngine)
+                and self.cfg.is_uniform
+                and M <= MAX_M
+            ):
+                # Fused Pallas pass: score + argmax + move codes, no scan.
+                resp = self.scorer.score_batch_moves(xs, ys, m, n)
+                Bp = resp["moves"].shape[2]
+                Mp = resp["moves"].shape[1]
+                xs_w = np.full((Bp, Mp), X_PAD, np.uint8)
+                xs_w[: len(xb), :M] = xs
+                ys_w = np.full((Bp, N), Y_PAD, np.uint8)
+                ys_w[: len(yb)] = ys
+                res = resp
+                xs, ys, M = xs_w, ys_w, Mp  # walk over the padded geometry
+                pallas_moves = True
+            else:
+                res = self.engine.score_batch(xs, ys, m, n, emit_moves=True)
         else:
             res = self.scorer.score_batch(xs, ys, m, n)
         if traceback:

@@ -150,6 +150,104 @@ def _kernel_profile(prof_ref, y_ref, best_ref, bestd_ref,
     bestd_ref[:] = bestd
 
 
+def _kernel_uniform_moves(x_ref, y_ref, best_ref, bestd_ref, moves_ref,
+                          h1_s, s2_s, best_s, bestd_s, ywin_s,
+                          *, match: int, mismatch: int, gap: int):
+    """Uniform kernel that also emits per-cell traceback move/stop codes.
+
+    Grid is (lane blocks, diagonal blocks); recurrence carries live in VMEM
+    scratch across the diagonal-block dimension, and each grid step writes
+    its UNROLL move planes straight to the (D, M, B) output — the Pallas
+    replacement for the scan path's emit_moves (same 3-bit encoding,
+    ops/scan_dp.py MOVE_*/STOP_BIT).
+    """
+    M, B = x_ref.shape
+    o = pl.program_id(1)
+    x = x_ref[:].astype(jnp.int32)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (M, B), 0)
+    row0 = rr == 0
+
+    @pl.when(o == 0)
+    def _():
+        z = jnp.zeros((M, B), jnp.int32)
+        h1_s[:] = z
+        s2_s[:] = z
+        best_s[:] = z
+        bestd_s[:] = z
+        ywin_s[:] = z
+
+    h1, s2 = h1_s[:], s2_s[:]
+    best, bestd = best_s[:], bestd_s[:]
+    ywin = ywin_s[:]
+    base = pl.multiple_of(o * UNROLL, UNROLL)
+    blk = y_ref[pl.ds(base, UNROLL), :].astype(jnp.int32)
+    for k in range(UNROLL):
+        d = o * UNROLL + k
+        yc = blk[k : k + 1, :]
+        ywin = pltpu.roll(ywin, 1, 0)
+        ywin = jnp.where(row0, yc, ywin)
+        sc = jnp.where(x == ywin, match, mismatch)
+        s1 = pltpu.roll(h1, 1, 0)
+        s1 = jnp.where(row0, 0, s1)
+        hd = jnp.maximum(
+            jnp.maximum(s2 + sc, h1 - gap), jnp.maximum(s1 - gap, 0)
+        )
+        n1, n2, n3 = s2, h1, s1  # nw, west, north
+        nw_mv = (n1 >= n2) & (n1 >= n3)
+        w_mv = (n2 >= n1) & (n2 >= n3)
+        mv = jnp.where(nw_mv, 0, jnp.where(w_mv, 1, 2))
+        stop = (n1 == 0) | (n2 == 0) | (n3 == 0)
+        mv = mv + jnp.where(stop, 4, 0)
+        moves_ref[k] = mv.astype(jnp.uint8)
+        upd = hd > best
+        best = jnp.where(upd, hd, best)
+        bestd = jnp.where(upd, d, bestd)
+        s2 = s1
+        h1 = hd
+    h1_s[:] = h1
+    s2_s[:] = s2
+    best_s[:] = best
+    bestd_s[:] = bestd
+    ywin_s[:] = ywin
+    best_ref[:] = best
+    bestd_ref[:] = bestd
+
+
+@functools.partial(jax.jit, static_argnames=("match", "mismatch", "gap", "interpret"))
+def _call_uniform_moves(xs, ys, *, match, mismatch, gap, interpret):
+    M, B = xs.shape
+    Ny = ys.shape[0]
+    nblk = min((M + Ny + UNROLL - 2) // UNROLL, Ny // UNROLL)
+    kernel = functools.partial(
+        _kernel_uniform_moves, match=match, mismatch=mismatch, gap=gap
+    )
+    best, bestd, moves = pl.pallas_call(
+        kernel,
+        grid=(B // LANE, nblk),
+        in_specs=[
+            pl.BlockSpec((M, LANE), lambda b, o: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ny, LANE), lambda b, o: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((M, LANE), lambda b, o: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, LANE), lambda b, o: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((UNROLL, M, LANE), lambda b, o: (o, 0, b), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, B), jnp.int32),
+            jax.ShapeDtypeStruct((M, B), jnp.int32),
+            jax.ShapeDtypeStruct((nblk * UNROLL, M, B), jnp.uint8),
+        ],
+        scratch_shapes=[pltpu.VMEM((M, LANE), jnp.int32)] * 5,
+        cost_estimate=pl.CostEstimate(
+            flops=20 * (M + Ny) * M * B, bytes_accessed=(M + Ny) * M * B,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xs, ys)
+    return best, bestd, moves
+
+
 def _common_specs(M, Ny):
     tail = [
         pl.BlockSpec((Ny, LANE), lambda b: (0, b), memory_space=pltpu.VMEM),
@@ -433,6 +531,28 @@ class PallasEngine:
         if not self._checked:
             self.self_check()
         return self.score_prepared(self.prepare(x_bm, y_bn, m, n), need_pos=need_pos)
+
+    def score_batch_moves(self, x_bm, y_bn, m, n):
+        """Score + argmax + per-cell traceback move codes in one kernel pass
+        (uniform scoring, single-strip reads). Returns PADDED arrays —
+        'score'/'i'/'j' of length Bpad and 'moves' (Dpad, Mpad, Bpad) — plus
+        'B0'; pad lanes have i == 0 (inactive for the walk)."""
+        if not self.cfg.is_uniform:
+            raise ValueError("moves kernel supports uniform scoring only")
+        if np.asarray(x_bm).shape[1] > MAX_M:
+            raise ValueError("moves kernel supports single-strip reads only")
+        if not self._checked:
+            self.self_check()
+        prep = self.prepare(x_bm, y_bn, m, n)
+        best, bestd, moves = _call_uniform_moves(
+            *prep["args"],
+            match=int(self.cfg.match), mismatch=int(self.cfg.mismatch),
+            gap=int(self.cfg.gap_penalty), interpret=self.interpret,
+        )
+        score, i, j = _reduce_best(best, bestd)
+        return {
+            "score": score, "i": i, "j": j, "moves": moves, "B0": prep["B0"],
+        }
 
     def prepare(self, x_bm, y_bn, m, n, device: bool = False):
         """Pad/transpose inputs into kernel layout. With device=True the

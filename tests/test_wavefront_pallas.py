@@ -78,3 +78,27 @@ def test_rejects_sat_uint8():
 def test_self_check_passes():
     eng = PallasEngine()
     eng.self_check()  # interpret-mode kernel must agree with scan
+
+
+def test_moves_kernel_traceback_matches_scan(rng):
+    """The fused Pallas score+moves pass must produce identical traceback
+    results (pos + consensus) to the scan emit_moves path."""
+    from parallel_genomeseq_tpu.models.swaligner import BatchSWAligner
+
+    ref = random_dna(rng, 500)
+    reads = []
+    for _ in range(5):
+        s = int(rng.integers(0, 420))
+        read = list(ref[s : s + 60])
+        for _ in range(3):
+            read[int(rng.integers(0, 60))] = rng.choice(list("ACGT"))
+        reads.append("".join(read))
+    scan_al = BatchSWAligner(score_engine="scan")
+    pal_al = BatchSWAligner(score_engine="pallas")
+    want = scan_al.align_batch(reads, [ref])
+    got = pal_al.align_batch(reads, [ref])
+    for w, g in zip(want, got):
+        assert g.score == w.score
+        assert g.pos == w.pos
+        assert g.consensus_x == w.consensus_x
+        assert g.consensus_y == w.consensus_y
