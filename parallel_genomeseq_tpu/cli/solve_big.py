@@ -43,6 +43,12 @@ def main(argv=None):
     p.add_argument("--read-len", type=int, default=10_000)
     p.add_argument("--n-reads", type=int, default=100)
     p.add_argument("--overlap-ratio", type=float, default=2.0)
+    p.add_argument(
+        "--traceback", action="store_true",
+        help="include winner traceback in the timed path (the reference's "
+        "calculateScore does; scoring-only is the default here since the "
+        "benchmark metric is GCUPS of the sweep)",
+    )
     common.add_scoring_flags(p)
     common.add_platform_flags(p)
     args = p.parse_args(argv)
@@ -88,7 +94,7 @@ def main(argv=None):
         best_t = float("inf")
         for _ in range(args.nrepeat):
             t0 = time.perf_counter()
-            res = aligner.align_batch(batch, ref, traceback=False)
+            res = aligner.align_batch(batch, ref, traceback=args.traceback)
             best_t = min(best_t, time.perf_counter() - t0)
         cells = sum(len(r) for r in batch) * len(ref)
         gcups_per_read.append(cells / best_t / 1e9)
