@@ -1,0 +1,293 @@
+"""serve: long-lived alignment server — pay the compile tax once.
+
+On this class of deployment the first invocation of each compiled program in
+a process is expensive (XLA compile + executable load; minutes through a
+remote-tunnel TPU, seconds locally), while steady-state calls are
+milliseconds. The reference's one-shot CLI model (src/sw_solve_small.cpp,
+src/mpi_sw_solve_small.cpp) pays that tax on every run; this server is the
+TPU-native production shape: load the engines and the reference genome once,
+pre-warm every compiled program at startup, then serve alignment requests
+over a Unix socket for the life of the process.
+
+Protocol: newline-delimited JSON, one object per line, one reply per request.
+
+  {"op": "ping"}
+      -> {"ok": true, "backend": "tpu", "reads_served": 0, ...}
+  {"op": "align", "reads": ["ACGT...", ...],
+   "ref": "..."          # optional: override the preloaded reference
+   "traceback": true,     # optional (default true): consensus strings + pos
+   "npiece": 0}           # optional: chunked decomposition (0 = server cfg)
+      -> {"ok": true, "results": [{"score": s, "pos": p, "max_i": i,
+          "max_j": j, "consensus_x": "...", "consensus_y": "..."}, ...],
+          "wall_s": 0.012}
+  {"op": "shutdown"}
+      -> {"ok": true} and the server exits.
+
+Usage:
+    python -m parallel_genomeseq_tpu.cli.serve --socket /tmp/pgs.sock \
+        --ref data/genome.fa --warm-read-len 125 &
+    python -m parallel_genomeseq_tpu.cli.serve --socket /tmp/pgs.sock \
+        --client align --reads-file reads.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import sys
+import time
+
+from . import common
+
+
+# ---------------------------------------------------------------------------
+# client side
+# ---------------------------------------------------------------------------
+
+def request(sock_path: str, obj: dict, timeout: float = 600.0) -> dict:
+    """Send one JSON request to a running server and return its reply."""
+    with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
+        s.settimeout(timeout)
+        s.connect(sock_path)
+        s.sendall(json.dumps(obj).encode() + b"\n")
+        buf = b""
+        while not buf.endswith(b"\n"):
+            chunk = s.recv(1 << 20)
+            if not chunk:
+                break
+            buf += chunk
+    return json.loads(buf.decode())
+
+
+def wait_ready(sock_path: str, timeout: float = 600.0) -> dict:
+    """Block until the server accepts a ping (startup includes warmup)."""
+    deadline = time.time() + timeout
+    last_err = None
+    while time.time() < deadline:
+        try:
+            return request(sock_path, {"op": "ping"}, timeout=30.0)
+        except (OSError, json.JSONDecodeError) as e:
+            last_err = e
+            time.sleep(0.25)
+    raise TimeoutError(f"server at {sock_path} not ready: {last_err}")
+
+
+# ---------------------------------------------------------------------------
+# server side
+# ---------------------------------------------------------------------------
+
+class AlignServer:
+    """Holds warmed aligners + the preloaded reference; handles requests."""
+
+    def __init__(self, cfg, chunk_cfg, ref: str, batch_size: int = 128,
+                 warm_read_len: int = 0):
+        from ..models.swaligner import BatchSWAligner
+        from ..parallel.chunking import ChunkedAligner
+
+        self.cfg = cfg
+        self.chunk_cfg = chunk_cfg
+        self.ref = ref
+        self.batch_size = batch_size
+        self.reads_served = 0
+        self._batch = BatchSWAligner(cfg)
+        self._chunked = (
+            ChunkedAligner(cfg=cfg, chunk=chunk_cfg)
+            if chunk_cfg.npiece > 1 else None
+        )
+        if warm_read_len and ref:
+            self.warmup(warm_read_len)
+
+    def warmup(self, read_len: int):
+        """Run one full-shape dummy batch through every serving path so the
+        per-program first-invocation cost is paid before the first client."""
+        import numpy as np
+
+        t0 = time.perf_counter()
+        rng = np.random.default_rng(0)
+        reads = [
+            "".join(rng.choice(list("ACGT"), size=read_len))
+            for _ in range(self.batch_size)
+        ]
+        self._batch.align_batch(reads, [self.ref], traceback=True)
+        self._batch.align_batch(reads, [self.ref], traceback=False)
+        if self._chunked is not None:
+            self._chunked.align_batch(reads, self.ref)
+        print(
+            f"serve: warmup done in {time.perf_counter() - t0:.1f}s "
+            f"(read_len={read_len}, batch={self.batch_size}, "
+            f"ref={len(self.ref)}bp)", flush=True,
+        )
+
+    def _align(self, req: dict) -> dict:
+        reads = req.get("reads") or []
+        if not isinstance(reads, list) or not reads or not all(
+            isinstance(r, str) and r for r in reads
+        ):
+            return {"ok": False, "error": "reads must be non-empty strings"}
+        ref = req.get("ref") or self.ref
+        if not ref:
+            return {"ok": False, "error": "no reference (server started "
+                    "without --ref and request has no 'ref')"}
+        traceback = bool(req.get("traceback", True))
+        npiece = int(req.get("npiece", 0))
+        t0 = time.perf_counter()
+        results = []
+        for batch in common.batched(reads, self.batch_size):
+            if npiece > 1 or (npiece == 0 and self._chunked is not None
+                              and ref is self.ref):
+                if npiece > 1 and (
+                    self._chunked is None or npiece != self.chunk_cfg.npiece
+                ):
+                    from ..parallel.chunking import ChunkedAligner
+                    from ..utils.config import ChunkConfig
+                    import dataclasses
+
+                    cc = dataclasses.replace(self.chunk_cfg, npiece=npiece)
+                    al = ChunkedAligner(cfg=self.cfg, chunk=cc)
+                else:
+                    al = self._chunked
+                results.extend(al.align_batch(batch, ref))
+            else:
+                results.extend(
+                    self._batch.align_batch(batch, [ref], traceback=traceback)
+                )
+        self.reads_served += len(reads)
+        return {
+            "ok": True,
+            "wall_s": round(time.perf_counter() - t0, 6),
+            "results": [
+                {
+                    "score": r.score, "pos": r.pos,
+                    "max_i": r.max_i, "max_j": r.max_j,
+                    "consensus_x": r.consensus_x, "consensus_y": r.consensus_y,
+                }
+                for r in results
+            ],
+        }
+
+    def handle(self, req: dict) -> dict:
+        op = req.get("op")
+        if op == "ping":
+            import jax
+
+            return {
+                "ok": True,
+                "backend": jax.default_backend(),
+                "reads_served": self.reads_served,
+                "ref_len": len(self.ref),
+                "batch_size": self.batch_size,
+            }
+        if op == "align":
+            return self._align(req)
+        if op == "shutdown":
+            return {"ok": True, "_shutdown": True}
+        return {"ok": False, "error": f"unknown op {op!r}"}
+
+
+def serve_forever(server: AlignServer, sock_path: str):
+    if os.path.exists(sock_path):
+        os.unlink(sock_path)
+    with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as srv:
+        srv.bind(sock_path)
+        srv.listen(8)
+        print(f"serve: listening on {sock_path}", flush=True)
+        shutdown = False
+        while not shutdown:
+            conn, _ = srv.accept()
+            with conn:
+                buf = b""
+                while True:
+                    chunk = conn.recv(1 << 20)
+                    if not chunk:
+                        break
+                    buf += chunk
+                    while b"\n" in buf:
+                        line, buf = buf.split(b"\n", 1)
+                        if not line.strip():
+                            continue
+                        try:
+                            reply = server.handle(json.loads(line.decode()))
+                        except Exception as e:  # keep the server alive
+                            reply = {"ok": False, "error": repr(e)}
+                        shutdown = reply.pop("_shutdown", False) or shutdown
+                        conn.sendall(json.dumps(reply).encode() + b"\n")
+                    if shutdown:
+                        break
+    os.unlink(sock_path)
+    print("serve: shut down", flush=True)
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--socket", default="/tmp/pgs_align.sock")
+    p.add_argument("--ref", default="", help="reference FASTA to preload")
+    p.add_argument(
+        "--warm-read-len", type=int, default=125,
+        help="pre-warm compiled programs for this read length (0 = skip)",
+    )
+    p.add_argument(
+        "--client", choices=["ping", "align", "shutdown"], default=None,
+        help="act as a client against a running server instead",
+    )
+    p.add_argument("--reads-file", default="", help="client align: one read per line")
+    p.add_argument("--output", default="", help="client align: CSV output path")
+    common.add_scoring_flags(p)
+    common.add_chunk_flags(p, npiece_default=1)
+    common.add_platform_flags(p)
+    args = p.parse_args(argv)
+
+    if args.client:
+        if args.client == "align":
+            reads = [
+                ln.strip()
+                for ln in open(args.reads_file, encoding="ascii")
+                if ln.strip()
+            ]
+            rep = request(args.socket, {"op": "align", "reads": reads})
+            if not rep.get("ok"):
+                print(f"error: {rep.get('error')}", file=sys.stderr)
+                return 1
+            rows = rep["results"]
+            if args.output:
+                with open(args.output, "w", encoding="ascii") as f:
+                    f.write("read,pos_pred,score\n")
+                    for read, r in zip(reads, rows):
+                        f.write(f"{read},{r['pos']},{r['score']:g}\n")
+                print(f"wrote {len(rows)} rows to {args.output}")
+            else:
+                for read, r in zip(reads, rows):
+                    print(f"{read[:24]}... pos={r['pos']} score={r['score']:g}")
+            print(
+                f"{len(rows)} reads in {rep['wall_s']:.3f}s server-side "
+                f"({len(rows)/max(rep['wall_s'],1e-9):.0f} reads/s)"
+            )
+            return 0
+        rep = request(args.socket, {"op": args.client})
+        print(json.dumps(rep))
+        return 0 if rep.get("ok") else 1
+
+    common.apply_platform(args)
+    ref = ""
+    if args.ref:
+        from ..seqio.native_io import read_fasta
+
+        ref = read_fasta(args.ref)
+    server = AlignServer(
+        cfg=common.scoring_from_args(args),
+        chunk_cfg=common.chunk_from_args(args),
+        ref=ref,
+        batch_size=args.batch_size,
+        warm_read_len=args.warm_read_len if ref else 0,
+    )
+    serve_forever(server, args.socket)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
