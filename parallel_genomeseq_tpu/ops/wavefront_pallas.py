@@ -87,8 +87,9 @@ def _make_body(score_of_window, y_ref, M: int, B: int):
             sc = score_of_window(ywin)
             s1 = pltpu.roll(h1, 1, 0)
             s1 = jnp.where(row0, 0, s1)
+            # max(h1,s1)-gap == max(h1-gap, s1-gap): one fewer op per cell.
             hd = jnp.maximum(
-                jnp.maximum(s2 + sc, h1 - gap), jnp.maximum(s1 - gap, 0)
+                jnp.maximum(s2 + sc, jnp.maximum(h1, s1) - gap), 0
             )
             if track_pos:
                 upd = hd > best
@@ -190,7 +191,7 @@ def _kernel_uniform_moves(x_ref, y_ref, best_ref, bestd_ref, moves_ref,
         s1 = pltpu.roll(h1, 1, 0)
         s1 = jnp.where(row0, 0, s1)
         hd = jnp.maximum(
-            jnp.maximum(s2 + sc, h1 - gap), jnp.maximum(s1 - gap, 0)
+            jnp.maximum(s2 + sc, jnp.maximum(h1, s1) - gap), 0
         )
         n1, n2, n3 = s2, h1, s1  # nw, west, north
         nw_mv = (n1 >= n2) & (n1 >= n3)
@@ -372,7 +373,7 @@ def _kernel_strips(x_ref, y_ref, best_ref, bestd_ref,
             north0 = rblk[k + STRIP_PADW + 1 : k + STRIP_PADW + 2, :]
             s1 = jnp.where(row0, north0, s1)
             hd = jnp.maximum(
-                jnp.maximum(s2 + sc, h1 - gap), jnp.maximum(s1 - gap, 0)
+                jnp.maximum(s2 + sc, jnp.maximum(h1, s1) - gap), 0
             )
             upd = hd > best
             best = jnp.where(upd, hd, best)
