@@ -49,6 +49,16 @@ def main(argv=None):
     p.add_argument("--limit", type=int, default=0, help="only first N proteins (0 = all)")
     p.add_argument("--engine", default="auto", choices=["auto", "pallas", "scan"])
     p.add_argument(
+        "--checkpoint", default="",
+        help="append per-batch results to this file as they complete "
+        "(default <output>.ckpt when --resume is set)",
+    )
+    p.add_argument(
+        "--resume", action="store_true",
+        help="skip proteins already present in the checkpoint file "
+        "(restart a killed run without redoing finished work)",
+    )
+    p.add_argument(
         "--num-processes", type=int, default=1,
         help="shard the database across N processes (the reference's "
         "files_per_rank sharding, mpi_sw_solve_uniprot.cpp:71-99)",
@@ -88,6 +98,29 @@ def main(argv=None):
     qb = to_bytes(query)
     B = args.batch_size
     results = [None] * len(entries)
+
+    # Checkpoint/resume: results are appended per batch keyed by protein
+    # name (names survive reordering/limit changes; the reference's one-shot
+    # MPI run has to restart the whole DB on any failure).
+    import os
+
+    ckpt_path = args.checkpoint or (f"{args.output}.ckpt" if args.resume else "")
+    ckpt_f = None
+    if ckpt_path:
+        if args.resume and os.path.exists(ckpt_path):
+            by_name = {e[0]: k for k, e in enumerate(entries)}
+            nres = 0
+            with open(ckpt_path, newline="") as f:
+                for row in csv.reader(f):
+                    if len(row) == 3 and row[0] in by_name:
+                        results[by_name[row[0]]] = (int(row[1]), int(row[2]))
+                        nres += 1
+            order = [k for k in order if results[k] is None]
+            print(f"resume: {nres} proteins restored from {ckpt_path}, "
+                  f"{len(order)} to go")
+        os.makedirs(os.path.dirname(ckpt_path) or ".", exist_ok=True)
+        ckpt_f = open(ckpt_path, "a", newline="")
+
     cells = 0
     t_total = 0.0
     for s in range(0, len(order), B):
@@ -106,12 +139,17 @@ def main(argv=None):
         cells += len(qb) * int(n.sum())
         for bi, k in enumerate(idxs):
             results[k] = (int(score[bi]), int(jj[bi]))
+        if ckpt_f is not None:
+            w = csv.writer(ckpt_f)
+            for k in idxs:
+                w.writerow([entries[k][0], results[k][0], results[k][1]])
+            ckpt_f.flush()
         done = min(s + B, len(order))
         if s == 0 or done % (B * 8) == 0 or done == len(order):
             print(f"progress: {done}/{len(order)}")
 
-    import os
-
+    if ckpt_f is not None:
+        ckpt_f.close()
     os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
     with open(args.output, "w", newline="") as f:
         w = csv.writer(f)

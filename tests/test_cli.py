@@ -79,3 +79,35 @@ def test_solve_uniprot_synthetic(tmp_path, rng, capsys):
     ]) == 0
     top = capsys.readouterr().out.splitlines()
     assert any("planted" in l for l in top)
+
+
+def test_solve_uniprot_checkpoint_resume(tmp_path, rng, capsys):
+    from parallel_genomeseq_tpu.cli.solve_uniprot import main
+
+    alpha = list("ARNDCQEGHILKMFPSTWYV")
+    query = "".join(rng.choice(alpha, 40))
+    qf = tmp_path / "q.fasta"
+    qf.write_text(">q\n" + query + "\n")
+    db = tmp_path / "db.fasta"
+    with open(db, "w") as f:
+        for k in range(10):
+            f.write(f">p{k}\n" + "".join(rng.choice(alpha, 80 + 7 * k)) + "\n")
+    out = tmp_path / "o.csv"
+    ckpt = tmp_path / "o.csv.ckpt"
+    base = [
+        "--platform", "cpu", "--query", str(qf), "--database", str(db),
+        "--output", str(out), "--batch-size", "4",
+    ]
+    assert main(base + ["--checkpoint", str(ckpt)]) == 0
+    full = out.read_text()
+    lines = ckpt.read_text().splitlines()
+    assert len(lines) == 10
+
+    # Simulate a killed run: keep only the first batch's checkpoint rows.
+    ckpt.write_text("\n".join(lines[:4]) + "\n")
+    out.unlink()
+    assert main(base + ["--resume"]) == 0
+    captured = capsys.readouterr().out
+    assert "resume: 4 proteins restored" in captured
+    assert "6 to go" in captured
+    assert out.read_text() == full
