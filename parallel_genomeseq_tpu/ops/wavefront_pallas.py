@@ -10,8 +10,11 @@ resident in VMEM: a (M, B) tile holds diagonal cells of M read positions
 Design notes:
 - Diagonal-major recurrence identical to ops/scan_dp.py: cell (r, d) =
   DP(i=r+1, j=d-r+1); north/west come from the previous diagonal, north-west
-  from two diagonals back. One `pltpu.roll` per step produces both shifted
-  carries (the shift of H_{d-2} is last step's shift of H_{d-1}, re-used).
+  from two diagonals back. Each step shifts the carries one sublane down via
+  a fused static shift+insert (`_shift_down`); the shift of H_{d-2} is last
+  step's shift of H_{d-1}, re-used. When scores and diagonal indices fit
+  int16 (match*M and M+N <= NARROW_BOUND) the whole recurrence runs in int16
+  — two values per 32-bit vreg slot, ~2x VPU throughput.
 - The reference-window characters a diagonal needs shift down by one row per
   step with one new char entering at row 0 (the TPU analog of the
   reference's reversed inv_sequence_y slices,
@@ -56,7 +59,14 @@ def _round_up(v: int, mult: int) -> int:
     return ((v + mult - 1) // mult) * mult
 
 
-def _make_body(score_of_window, y_ref, M: int, B: int):
+def _shift_down(h, first_row):
+    """Shift sublanes down by one, inserting first_row at row 0 — one fused
+    static-shift op (vs pltpu.roll + a row-0 select, and unlike
+    tpu.dynamic_rotate it lowers for 16-bit data too)."""
+    return jnp.concatenate([first_row, h[:-1, :]], axis=0)
+
+
+def _make_body(score_of_window, y_ref, M: int, B: int, dtype=jnp.int32):
     """Shared recurrence: returns the outer-loop body over UNROLL-step blocks.
 
     score_of_window(ywin) -> (M, B) int32 substitution scores for the current
@@ -72,21 +82,18 @@ def _make_body(score_of_window, y_ref, M: int, B: int):
     never tie or beat the valid maximum, keeping score AND argmax exact.
     The engine enforces the preconditions (PallasEngine guards).
     """
-    rr = jax.lax.broadcasted_iota(jnp.int32, (M, B), 0)
-    row0 = rr == 0
+    zrow = jnp.zeros((1, B), dtype)
 
     def outer(o, carry, *, gap, track_pos=True):
         h1, s2, best, bestd, ywin = carry
         base = pl.multiple_of(o * UNROLL, UNROLL)
-        blk = y_ref[pl.ds(base, UNROLL), :].astype(jnp.int32)  # (8, B)
+        blk = y_ref[pl.ds(base, UNROLL), :].astype(dtype)  # (8, B)
         for k in range(UNROLL):
             d = o * UNROLL + k
             yc = blk[k : k + 1, :]  # static row
-            ywin = pltpu.roll(ywin, 1, 0)
-            ywin = jnp.where(row0, yc, ywin)
+            ywin = _shift_down(ywin, yc)
             sc = score_of_window(ywin)
-            s1 = pltpu.roll(h1, 1, 0)
-            s1 = jnp.where(row0, 0, s1)
+            s1 = _shift_down(h1, zrow)
             # max(h1,s1)-gap == max(h1-gap, s1-gap): one fewer op per cell.
             hd = jnp.maximum(
                 jnp.maximum(s2 + sc, jnp.maximum(h1, s1) - gap), 0
@@ -108,18 +115,21 @@ def _make_body(score_of_window, y_ref, M: int, B: int):
 
 def _kernel_uniform(x_ref, y_ref, best_ref, bestd_ref,
                     *, nblk: int, match: int, mismatch: int, gap: int,
-                    track_pos: bool = True):
+                    track_pos: bool = True, dtype=jnp.int32):
     M, B = x_ref.shape
-    x = x_ref[:].astype(jnp.int32)
+    x = x_ref[:].astype(dtype)
+    mt, mm = np.asarray(match, dtype), np.asarray(mismatch, dtype)
 
     def score_of_window(ywin):
-        return jnp.where(x == ywin, match, mismatch)
+        return jnp.where(x == ywin, mt, mm)
 
-    outer = _make_body(score_of_window, y_ref, M, B)
-    zeros = jnp.zeros((M, B), jnp.int32)
+    outer = _make_body(score_of_window, y_ref, M, B, dtype=dtype)
+    zeros = jnp.zeros((M, B), dtype)
     init = (zeros, zeros, zeros, zeros, zeros)
     _, _, best, bestd, _ = jax.lax.fori_loop(
-        0, nblk, functools.partial(outer, gap=gap, track_pos=track_pos), init
+        0, nblk,
+        functools.partial(outer, gap=np.asarray(gap, dtype), track_pos=track_pos),
+        init,
     )
     best_ref[:] = best
     bestd_ref[:] = bestd
@@ -165,8 +175,7 @@ def _kernel_uniform_moves(x_ref, y_ref, best_ref, bestd_ref, moves_ref,
     M, B = x_ref.shape
     o = pl.program_id(1)
     x = x_ref[:].astype(jnp.int32)
-    rr = jax.lax.broadcasted_iota(jnp.int32, (M, B), 0)
-    row0 = rr == 0
+    zrow = jnp.zeros((1, B), jnp.int32)
 
     @pl.when(o == 0)
     def _():
@@ -185,11 +194,9 @@ def _kernel_uniform_moves(x_ref, y_ref, best_ref, bestd_ref, moves_ref,
     for k in range(UNROLL):
         d = o * UNROLL + k
         yc = blk[k : k + 1, :]
-        ywin = pltpu.roll(ywin, 1, 0)
-        ywin = jnp.where(row0, yc, ywin)
+        ywin = _shift_down(ywin, yc)
         sc = jnp.where(x == ywin, match, mismatch)
-        s1 = pltpu.roll(h1, 1, 0)
-        s1 = jnp.where(row0, 0, s1)
+        s1 = _shift_down(h1, zrow)
         hd = jnp.maximum(
             jnp.maximum(s2 + sc, jnp.maximum(h1, s1) - gap), 0
         )
@@ -260,27 +267,36 @@ def _common_specs(M, Ny):
     return tail, out_specs
 
 
-@functools.partial(jax.jit, static_argnames=("match", "mismatch", "gap", "interpret", "track_pos"))
-def _call_uniform(xs, ys, *, match, mismatch, gap, interpret, track_pos=True):
+@functools.partial(
+    jax.jit,
+    static_argnames=("match", "mismatch", "gap", "interpret", "track_pos", "narrow"),
+)
+def _call_uniform(xs, ys, *, match, mismatch, gap, interpret, track_pos=True,
+                  narrow=False):
+    """narrow=True runs the whole recurrence in int16 (2 values packed per
+    32-bit vreg slot -> up to 2x VPU throughput); callers must guarantee
+    match * M <= NARROW_BOUND and M + Ny <= NARROW_BOUND so neither scores
+    nor diagonal indices can overflow."""
     M, B = xs.shape
     Ny = ys.shape[0]
     D = M + (Ny - M) - 1  # true diagonals; ys rows are padded to M + N
     nblk = (M + Ny + UNROLL - 2) // UNROLL  # covers all diagonals
     nblk = min(nblk, Ny // UNROLL)  # aligned loads must stay in bounds
+    dtype = jnp.int16 if narrow else jnp.int32
     kernel = functools.partial(
         _kernel_uniform, nblk=nblk, match=match, mismatch=mismatch, gap=gap,
-        track_pos=track_pos,
+        track_pos=track_pos, dtype=dtype,
     )
     tail, out_specs = _common_specs(M, Ny)
     x_spec = pl.BlockSpec((M, LANE), lambda b: (0, b), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    best, bestd = pl.pallas_call(
         kernel,
         grid=(B // LANE,),
         in_specs=[x_spec] + tail,
         out_specs=out_specs,
         out_shape=[
-            jax.ShapeDtypeStruct((M, B), jnp.int32),
-            jax.ShapeDtypeStruct((M, B), jnp.int32),
+            jax.ShapeDtypeStruct((M, B), dtype),
+            jax.ShapeDtypeStruct((M, B), dtype),
         ],
         cost_estimate=pl.CostEstimate(
             flops=14 * (M + Ny) * M * B, bytes_accessed=M * B * 16,
@@ -288,6 +304,7 @@ def _call_uniform(xs, ys, *, match, mismatch, gap, interpret, track_pos=True):
         ),
         interpret=interpret,
     )(xs, ys)
+    return best.astype(jnp.int32), bestd.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("alphabet", "worst", "gap", "interpret"))
@@ -329,6 +346,13 @@ def _call_profile(prof, ys, *, alphabet, worst, gap, interpret):
 STRIP_S = 256  # rows per strip (multiple of 8)
 STRIP_PADW = (STRIP_S - 2) % 8  # write offset making boundary stores aligned
 INT16_BOUND = 32000
+NARROW_BOUND = 30000  # int16 kernel: max score (match*M) and max diagonal index
+# int16 recurrence: compiles shift/arithmetic but v5e Mosaic rejects packed
+# 16-bit compares ("Target does not support this comparison", arith.cmpi on
+# vector<8x128x2xi16>) — both the char-match compare and the argmax compare
+# hit it. Keep the plumbing (interpret-mode verified) gated off until a
+# target generation supports packed i16 predicates.
+NARROW_ENABLED = False
 
 
 def _kernel_strips(x_ref, y_ref, best_ref, bestd_ref,
@@ -347,7 +371,6 @@ def _kernel_strips(x_ref, y_ref, best_ref, bestd_ref,
     s_idx = pl.program_id(1)
     x = x_ref[:].astype(jnp.int32)
     rr = jax.lax.broadcasted_iota(jnp.int32, (S, B), 0)
-    row0 = rr == 0
     rowlast = rr == S - 1
     N = y_ref.shape[0]
 
@@ -365,13 +388,11 @@ def _kernel_strips(x_ref, y_ref, best_ref, bestd_ref,
         for k in range(UNROLL):
             d = o * UNROLL + k
             yc = blk[k : k + 1, :]
-            ywin = pltpu.roll(ywin, 1, 0)
-            ywin = jnp.where(row0, yc, ywin)
+            ywin = _shift_down(ywin, yc)
             sc = jnp.where(x == ywin, match, mismatch)
-            s1 = pltpu.roll(h1, 1, 0)
             # Boundary insert: lastrow[j = d + 1] at p = j + STRIP_PADW.
             north0 = rblk[k + STRIP_PADW + 1 : k + STRIP_PADW + 2, :]
-            s1 = jnp.where(row0, north0, s1)
+            s1 = _shift_down(h1, north0)
             hd = jnp.maximum(
                 jnp.maximum(s2 + sc, jnp.maximum(h1, s1) - gap), 0
             )
@@ -625,11 +646,17 @@ class PallasEngine:
             score, i, j = _reduce_best_strips(best, bestd, None, None)
             return {"score": score[:B0], "i": i[:B0], "j": j[:B0]}
         if self.cfg.is_uniform:
+            M, Ny = args[0].shape[0], args[1].shape[0]
+            narrow = (
+                NARROW_ENABLED
+                and int(self.cfg.match) * M <= NARROW_BOUND
+                and M + Ny <= NARROW_BOUND
+            )
             best, bestd = _call_uniform(
                 *args,
                 match=int(self.cfg.match), mismatch=int(self.cfg.mismatch),
                 gap=int(self.cfg.gap_penalty), interpret=self.interpret,
-                track_pos=need_pos,
+                track_pos=need_pos, narrow=narrow,
             )
         else:
             alpha = tuple(self.cfg.alphabet.encode("ascii"))

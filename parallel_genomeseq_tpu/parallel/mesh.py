@@ -43,6 +43,13 @@ def make_mesh(
     power-of-two divisor <= sqrt(n) so both axes get parallelism."""
     devs = jax.devices()
     n = n_devices or len(devs)
+    if n > len(devs):
+        raise ValueError(
+            f"requested a {n}-device mesh but only {len(devs)} "
+            f"{devs[0].platform} device(s) are visible — for a virtual CPU "
+            "mesh set XLA_FLAGS=--xla_force_host_platform_device_count="
+            f"{n} and force the cpu platform before JAX initializes"
+        )
     devs = devs[:n]
     if chunk is None:
         chunk = 1
