@@ -59,6 +59,17 @@ def _round_up(v: int, mult: int) -> int:
     return ((v + mult - 1) // mult) * mult
 
 
+def _pick_slot(ndiag: int, max_score: int) -> int:
+    """Power-of-two slot for packed argmax tracking, or 0 when the packed
+    value (max_score * slot + slot - 1) could overflow int32."""
+    slot = 1
+    while slot < ndiag:
+        slot *= 2
+    if (max_score + 1) * slot - 1 <= 2**31 - 1:
+        return slot
+    return 0
+
+
 def _shift_down(h, first_row):
     """Shift sublanes down by one, inserting first_row at row 0 — one fused
     static-shift op (vs pltpu.roll + a row-0 select, and unlike
@@ -66,11 +77,20 @@ def _shift_down(h, first_row):
     return jnp.concatenate([first_row, h[:-1, :]], axis=0)
 
 
-def _make_body(score_of_window, y_ref, M: int, B: int, dtype=jnp.int32):
+def _make_body(score_of_window, y_ref, M: int, B: int, dtype=jnp.int32,
+               slot: int = 0):
     """Shared recurrence: returns the outer-loop body over UNROLL-step blocks.
 
     score_of_window(ywin) -> (M, B) int32 substitution scores for the current
     diagonal's character pairs.
+
+    slot > 0 enables packed argmax tracking: every DP value (scores, gap)
+    is pre-scaled by ``slot`` (a power of two > number of diagonals), so the
+    running (score, diagonal) argmax is a single integer
+    ``max(best, hd + (slot-1-d))`` — one add + one max per cell instead of
+    compare + two selects, with the same tie-break (equal scores keep the
+    smallest d, since larger slot-1-d wins the max). The caller divides the
+    scaled carries back out of the packed plane.
 
     No validity mask: out-of-range cells need no explicit zeroing. The j < 1
     region stays exactly 0 by propagation (its window chars are initial
@@ -98,7 +118,9 @@ def _make_body(score_of_window, y_ref, M: int, B: int, dtype=jnp.int32):
             hd = jnp.maximum(
                 jnp.maximum(s2 + sc, jnp.maximum(h1, s1) - gap), 0
             )
-            if track_pos:
+            if slot:
+                best = jnp.maximum(best, hd + (slot - 1 - d))
+            elif track_pos:
                 upd = hd > best
                 best = jnp.where(upd, hd, best)
                 bestd = jnp.where(upd, d, bestd)
@@ -115,50 +137,66 @@ def _make_body(score_of_window, y_ref, M: int, B: int, dtype=jnp.int32):
 
 def _kernel_uniform(x_ref, y_ref, best_ref, bestd_ref,
                     *, nblk: int, match: int, mismatch: int, gap: int,
-                    track_pos: bool = True, dtype=jnp.int32):
+                    track_pos: bool = True, dtype=jnp.int32, slot: int = 0):
     M, B = x_ref.shape
     x = x_ref[:].astype(dtype)
-    mt, mm = np.asarray(match, dtype), np.asarray(mismatch, dtype)
+    s = slot or 1
+    mt = np.asarray(match * s, dtype)
+    mm = np.asarray(mismatch * s, dtype)
 
     def score_of_window(ywin):
         return jnp.where(x == ywin, mt, mm)
 
-    outer = _make_body(score_of_window, y_ref, M, B, dtype=dtype)
+    outer = _make_body(score_of_window, y_ref, M, B, dtype=dtype, slot=slot)
     zeros = jnp.zeros((M, B), dtype)
     init = (zeros, zeros, zeros, zeros, zeros)
     _, _, best, bestd, _ = jax.lax.fori_loop(
         0, nblk,
-        functools.partial(outer, gap=np.asarray(gap, dtype), track_pos=track_pos),
+        functools.partial(
+            outer, gap=np.asarray(gap * s, dtype), track_pos=track_pos
+        ),
         init,
     )
-    best_ref[:] = best
-    bestd_ref[:] = bestd
+    if slot:
+        # Unpack once: high part is the scaled score, low part the
+        # tie-break complement of the diagonal index.
+        best_ref[:] = best // slot
+        bestd_ref[:] = (slot - 1) - (best % slot)
+    else:
+        best_ref[:] = best
+        bestd_ref[:] = bestd
 
 
 def _kernel_profile(prof_ref, y_ref, best_ref, bestd_ref,
                     *, nblk: int, alphabet: Tuple[int, ...], worst: int,
-                    gap: int):
+                    gap: int, slot: int = 0):
     """Substitution-matrix scoring via per-read score profiles:
     prof[c, r, b] = S[x_b[r], alphabet[c]]. The per-step score is selected by
     comparing window chars against each alphabet byte (A selects; A=4 for
     DNA, ~25 for protein) — no gathers in the hot loop."""
     A, M, B = prof_ref.shape
-    prof = prof_ref[:]
+    s = slot or 1
+    prof = prof_ref[:] * s if slot else prof_ref[:]
+    worst_s = np.asarray(worst * s, jnp.int32)
 
     def score_of_window(ywin):
-        sc = jnp.full((M, B), worst, jnp.int32)
+        sc = jnp.full((M, B), worst_s, jnp.int32)
         for c in range(A):
             sc = jnp.where(ywin == np.int32(alphabet[c]), prof[c], sc)
         return sc
 
-    outer = _make_body(score_of_window, y_ref, M, B)
+    outer = _make_body(score_of_window, y_ref, M, B, slot=slot)
     zeros = jnp.zeros((M, B), jnp.int32)
     init = (zeros, zeros, zeros, zeros, zeros)
     _, _, best, bestd, _ = jax.lax.fori_loop(
-        0, nblk, functools.partial(outer, gap=gap), init
+        0, nblk, functools.partial(outer, gap=gap * s), init
     )
-    best_ref[:] = best
-    bestd_ref[:] = bestd
+    if slot:
+        best_ref[:] = best // slot
+        bestd_ref[:] = (slot - 1) - (best % slot)
+    else:
+        best_ref[:] = best
+        bestd_ref[:] = bestd
 
 
 def _kernel_uniform_moves(x_ref, y_ref, best_ref, bestd_ref, moves_ref,
@@ -283,9 +321,13 @@ def _call_uniform(xs, ys, *, match, mismatch, gap, interpret, track_pos=True,
     nblk = (M + Ny + UNROLL - 2) // UNROLL  # covers all diagonals
     nblk = min(nblk, Ny // UNROLL)  # aligned loads must stay in bounds
     dtype = jnp.int16 if narrow else jnp.int32
+    slot = (
+        _pick_slot(nblk * UNROLL, match * M)
+        if (track_pos and not narrow) else 0
+    )
     kernel = functools.partial(
         _kernel_uniform, nblk=nblk, match=match, mismatch=mismatch, gap=gap,
-        track_pos=track_pos, dtype=dtype,
+        track_pos=track_pos, dtype=dtype, slot=slot,
     )
     tail, out_specs = _common_specs(M, Ny)
     x_spec = pl.BlockSpec((M, LANE), lambda b: (0, b), memory_space=pltpu.VMEM)
@@ -307,14 +349,18 @@ def _call_uniform(xs, ys, *, match, mismatch, gap, interpret, track_pos=True,
     return best.astype(jnp.int32), bestd.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("alphabet", "worst", "gap", "interpret"))
-def _call_profile(prof, ys, *, alphabet, worst, gap, interpret):
+@functools.partial(
+    jax.jit, static_argnames=("alphabet", "worst", "best_sub", "gap", "interpret")
+)
+def _call_profile(prof, ys, *, alphabet, worst, best_sub, gap, interpret):
     A, M, B = prof.shape
     Ny = ys.shape[0]
     nblk = (M + Ny + UNROLL - 2) // UNROLL
     nblk = min(nblk, Ny // UNROLL)
+    slot = _pick_slot(nblk * UNROLL, max(best_sub, 1) * M)
     kernel = functools.partial(
-        _kernel_profile, nblk=nblk, alphabet=alphabet, worst=worst, gap=gap
+        _kernel_profile, nblk=nblk, alphabet=alphabet, worst=worst, gap=gap,
+        slot=slot,
     )
     tail, out_specs = _common_specs(M, Ny)
     p_spec = pl.BlockSpec((A, M, LANE), lambda b: (0, 0, b), memory_space=pltpu.VMEM)
@@ -399,8 +445,9 @@ def _kernel_strips(x_ref, y_ref, best_ref, bestd_ref,
             upd = hd > best
             best = jnp.where(upd, hd, best)
             bestd = jnp.where(upd, d, bestd)
-            # Stage this step's strip-last-row cell (j = d - S + 2).
-            lastcell = jnp.sum(jnp.where(rowlast, hd, 0), axis=0, keepdims=True)
+            # Stage this step's strip-last-row cell (j = d - S + 2) — a
+            # static row slice, not a masked (S, B) reduction.
+            lastcell = hd[S - 1 : S, :]
             stage = jnp.where(
                 jax.lax.broadcasted_iota(jnp.int32, (UNROLL, B), 0) == k,
                 lastcell, stage,
@@ -659,10 +706,11 @@ class PallasEngine:
                 track_pos=need_pos, narrow=narrow,
             )
         else:
+            S = np.asarray(self.cfg.matrix).astype(np.int32)
             alpha = tuple(self.cfg.alphabet.encode("ascii"))
-            worst = int(np.asarray(self.cfg.matrix).astype(np.int32).min())
             best, bestd = _call_profile(
-                *args, alphabet=alpha, worst=worst,
+                *args, alphabet=alpha, worst=int(S.min()),
+                best_sub=int(S.max()),
                 gap=int(self.cfg.gap_penalty), interpret=self.interpret,
             )
         if not need_pos:
