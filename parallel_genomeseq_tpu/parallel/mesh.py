@@ -61,6 +61,27 @@ def make_mesh(
     return Mesh(arr, ("chunk", "batch"))
 
 
+def _score_lanes_pallas(x_rm, y_pn, match, mismatch, gap, interpret):
+    """Score all (local reads x local pieces) lanes with the Pallas wavefront
+    kernel — the production per-shard compute on TPU meshes (the scan path
+    remains the general/fallback engine). Lanes are already X_PAD/Y_PAD
+    padded by score_reads."""
+    from ..ops.wavefront_pallas import score_lanes_jit
+
+    Rl, M = x_rm.shape
+    Pl, N = y_pn.shape
+    xs = jnp.repeat(x_rm, Pl, axis=0)  # lane = r * Pl + p
+    ys = jnp.tile(y_pn, (Rl, 1))
+    score, i, j = score_lanes_jit(
+        xs, ys, match=match, mismatch=mismatch, gap=gap, interpret=interpret
+    )
+    return (
+        score.reshape(Rl, Pl),
+        i.reshape(Rl, Pl),
+        j.reshape(Rl, Pl),
+    )
+
+
 def _score_lanes_scan(x_rm, y_pn, m_r, n_p, table, gap):
     """Score all (local reads x local pieces) lanes with the scan wavefront.
 
@@ -109,6 +130,7 @@ class MeshAligner:
         cfg: ScoringConfig = ScoringConfig(),
         chunk_cfg: ChunkConfig = ChunkConfig(npiece=8, overlap_ratio=2.0),
         mesh: Optional[Mesh] = None,
+        engine: str = "auto",
     ):
         if not cfg.is_integral:
             # The (256,256) byte score table is int32 inside the kernel;
@@ -120,11 +142,33 @@ class MeshAligner:
         tab = cfg.byte_table().astype(np.int32)
         self._table = jnp.asarray(tab)
         self._gap = jnp.asarray(int(cfg.gap_penalty), jnp.int32)
+        if engine == "auto":
+            # Pallas per-shard compute: production path on TPU meshes when
+            # the mask-free kernel preconditions hold (see PallasEngine).
+            engine = (
+                "pallas"
+                if (
+                    jax.default_backend() == "tpu"
+                    and cfg.is_uniform
+                    and int(cfg.mismatch) < 0
+                    and int(cfg.gap_penalty) >= 1
+                )
+                else "scan"
+            )
+        if engine not in ("pallas", "scan"):
+            raise ValueError(f"unknown engine {engine!r}")
+        self.engine = engine
         self._fn_cache = {}
 
     def _build(self, R, Pp, M, N):
         mesh = self.mesh
         table, gap = self._table, self._gap
+        use_pallas = self.engine == "pallas"
+        if use_pallas:
+            match_i = int(self.cfg.match)
+            mismatch_i = int(self.cfg.mismatch)
+            gap_i = int(self.cfg.gap_penalty)
+            interpret = jax.default_backend() != "tpu"
 
         @functools.partial(
             jax.jit,
@@ -145,7 +189,12 @@ class MeshAligner:
             check_vma=False,  # scan carries are created inside the mapped fn
         )
         def run(x, y, m, n, lefts, pids):
-            score, i, j = _score_lanes_scan(x, y, m, n, table, gap)  # (Rl, Pl)
+            if use_pallas:
+                score, i, j = _score_lanes_pallas(
+                    x, y, match_i, mismatch_i, gap_i, interpret
+                )  # (Rl, Pl)
+            else:
+                score, i, j = _score_lanes_scan(x, y, m, n, table, gap)
             # Local argmax over this device's pieces: first piece wins ties.
             key = score * PIECE_SLOTS + (PIECE_SLOTS - 1 - pids[None, :])
             loc = jnp.argmax(key, axis=1)  # (Rl,)

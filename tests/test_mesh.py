@@ -85,3 +85,19 @@ def test_mesh_substitution_scoring(rng):
     for k, r in enumerate(reads):
         _, _, ov = oracle.find_max(oracle.sw_matrix(r, ref, cfg))
         assert int(out["score"][k]) == ov, k
+
+
+def test_mesh_pallas_engine_matches_scan(rng):
+    """The Pallas per-shard compute (production TPU path; interpret on this
+    CPU mesh) must agree with the scan per-shard compute on score, position,
+    and winning piece."""
+    ref = random_dna(rng, 1000)
+    reads = [ref[i : i + 40] for i in (25, 400, 880)] + [
+        random_dna(rng, 40) for _ in range(3)
+    ]
+    chunk = ChunkConfig(npiece=4, overlap_ratio=2.0)
+    mesh = make_mesh(8)
+    out_p = MeshAligner(chunk_cfg=chunk, mesh=mesh, engine="pallas").score_reads(reads, ref)
+    out_s = MeshAligner(chunk_cfg=chunk, mesh=mesh, engine="scan").score_reads(reads, ref)
+    for k in ("score", "i", "j", "piece"):
+        assert (out_p[k] == out_s[k]).all(), (k, out_p[k], out_s[k])
