@@ -64,9 +64,11 @@ def walk_moves(moves, x_mb, y_bn, i0, j0, *, max_steps: int):
         go_n = (code == MOVE_N) & ~stop
         emit_x = jnp.where(go_w, GAP_BYTE, xc)
         emit_y = jnp.where(go_n, GAP_BYTE, yc)
-        slot = jnp.minimum(steps, max_steps - 1)
-        cx = cx.at[slot, lanes].set(jnp.where(active, emit_x, cx[slot, lanes]))
-        cy = cy.at[slot, lanes].set(jnp.where(active, emit_y, cy[slot, lanes]))
+        # A lane is active from iteration 0 until it stops (never resumes),
+        # so steps == it for every active lane: the emission slot is the
+        # loop index — a static row write, not a per-lane scatter.
+        cx = cx.at[it].set(jnp.where(active, emit_x, jnp.uint8(0)))
+        cy = cy.at[it].set(jnp.where(active, emit_y, jnp.uint8(0)))
         steps = jnp.where(active, steps + 1, steps)
         pos = jnp.where(active & stop, j, pos)
         di = jnp.where(go_w, 0, 1)

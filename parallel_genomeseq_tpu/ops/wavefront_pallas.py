@@ -403,7 +403,7 @@ NARROW_ENABLED = False
 
 def _kernel_strips(x_ref, y_ref, best_ref, bestd_ref,
                    lastrow_ref, *, nblk: int, match: int, mismatch: int,
-                   gap: int):
+                   gap: int, slot: int = 0):
     """One strip of the blocked wavefront.
 
     Per local step d' (diagonal within the strip), the row-0 north/north-west
@@ -412,13 +412,17 @@ def _kernel_strips(x_ref, y_ref, best_ref, bestd_ref,
     row is staged 8 steps at a time and stored back for the next strip.
     Reads of lastrow always target rows >= current j while writes lag by
     STRIP_S rows, so a single buffer serves both directions.
+
+    slot > 0 enables the packed argmax (see _make_body): carries run
+    slot-scaled, the int16 boundary rows stay unscaled (scaled on load,
+    divided back on store — exact, every carried value is a slot multiple).
     """
     S, B = x_ref.shape
     s_idx = pl.program_id(1)
     x = x_ref[:].astype(jnp.int32)
-    rr = jax.lax.broadcasted_iota(jnp.int32, (S, B), 0)
-    rowlast = rr == S - 1
     N = y_ref.shape[0]
+    s = slot or 1
+    mt, mm, gp = match * s, mismatch * s, gap * s
 
     @pl.when(s_idx == 0)
     def _():
@@ -431,20 +435,25 @@ def _kernel_strips(x_ref, y_ref, best_ref, bestd_ref,
         base = pl.multiple_of(o * UNROLL, UNROLL)
         blk = y_ref[pl.ds(base, UNROLL), :].astype(jnp.int32)
         rblk = lastrow_ref[pl.ds(base, 2 * UNROLL), :].astype(jnp.int32)
+        if slot:
+            rblk = rblk * slot
         for k in range(UNROLL):
             d = o * UNROLL + k
             yc = blk[k : k + 1, :]
             ywin = _shift_down(ywin, yc)
-            sc = jnp.where(x == ywin, match, mismatch)
+            sc = jnp.where(x == ywin, mt, mm)
             # Boundary insert: lastrow[j = d + 1] at p = j + STRIP_PADW.
             north0 = rblk[k + STRIP_PADW + 1 : k + STRIP_PADW + 2, :]
             s1 = _shift_down(h1, north0)
             hd = jnp.maximum(
-                jnp.maximum(s2 + sc, jnp.maximum(h1, s1) - gap), 0
+                jnp.maximum(s2 + sc, jnp.maximum(h1, s1) - gp), 0
             )
-            upd = hd > best
-            best = jnp.where(upd, hd, best)
-            bestd = jnp.where(upd, d, bestd)
+            if slot:
+                best = jnp.maximum(best, hd + (slot - 1 - d))
+            else:
+                upd = hd > best
+                best = jnp.where(upd, hd, best)
+                bestd = jnp.where(upd, d, bestd)
             # Stage this step's strip-last-row cell (j = d - S + 2) — a
             # static row slice, not a masked (S, B) reduction.
             lastcell = hd[S - 1 : S, :]
@@ -460,8 +469,9 @@ def _kernel_strips(x_ref, y_ref, best_ref, bestd_ref,
 
         @pl.when(p0 >= 0)
         def _():
+            st = stage // slot if slot else stage
             lastrow_ref[pl.ds(pl.multiple_of(p0, UNROLL), UNROLL), :] = (
-                stage.astype(lastrow_ref.dtype)
+                st.astype(lastrow_ref.dtype)
             )
 
         return h1, s2, best, bestd, ywin, stage
@@ -470,8 +480,12 @@ def _kernel_strips(x_ref, y_ref, best_ref, bestd_ref,
     _, _, best, bestd, _, _ = jax.lax.fori_loop(
         0, nblk, outer, (zeros, zeros, zeros, zeros, zeros, stage0)
     )
-    best_ref[:] = best
-    bestd_ref[:] = bestd
+    if slot:
+        best_ref[:] = best // slot
+        bestd_ref[:] = (slot - 1) - (best % slot)
+    else:
+        best_ref[:] = best
+        bestd_ref[:] = bestd
 
 
 @functools.partial(jax.jit, static_argnames=("match", "mismatch", "gap", "interpret"))
@@ -481,8 +495,12 @@ def _call_strips(xs, ys, *, match, mismatch, gap, interpret):
     S = STRIP_S
     nstrips = M // S
     nblk = Ny // UNROLL  # covers all S + N - 1 strip diagonals by padding
+    # Packed bound uses the engine's strip-mode score cap (match * read_len
+    # <= INT16_BOUND), not match * padded-M, which can exceed it.
+    slot = _pick_slot(nblk * UNROLL, INT16_BOUND)
     kernel = functools.partial(
-        _kernel_strips, nblk=nblk, match=match, mismatch=mismatch, gap=gap
+        _kernel_strips, nblk=nblk, match=match, mismatch=mismatch, gap=gap,
+        slot=slot,
     )
     Nlr = Ny + 4 * UNROLL
     best, bestd = pl.pallas_call(
