@@ -89,6 +89,35 @@ def _sw_matrix_sat_u8(xb, yb, cfg: ScoringConfig) -> np.ndarray:
     return H
 
 
+def sw_score_fast(x, y, cfg: ScoringConfig = ScoringConfig()) -> Tuple[int, int, int]:
+    """(score, i, j) via a column-vectorized numpy DP — fast enough to
+    verify live results at engine startup (ms per lane, vs seconds for the
+    per-cell sw_matrix loop). Integral scoring only.
+
+    The in-column north dependency H[i,j] = max(E[i,j], H[i-1,j] - g) is
+    resolved with a prefix max: H[i] = max_{k<=i}(E[k] + g*k) - g*i.
+    Tie-break matches find_max (column-major first occurrence).
+    """
+    if not cfg.is_integral:
+        raise ValueError("sw_score_fast requires integral scoring")
+    xb, yb = _as_bytes(x), _as_bytes(y)
+    tab = cfg.byte_table().astype(np.int64)
+    g = int(cfg.gap_penalty)
+    m = len(xb)
+    gi = g * np.arange(m, dtype=np.int64)
+    Hprev = np.zeros(m + 1, np.int64)
+    best, bi, bj = 0, 0, 0
+    for j in range(1, len(yb) + 1):
+        s = tab[xb, yb[j - 1]]
+        E = np.maximum(Hprev[:-1] + s, np.maximum(Hprev[1:] - g, 0))
+        Hcol = np.maximum.accumulate(E + gi) - gi
+        cm = int(Hcol.max())
+        if cm > best:
+            best, bi, bj = cm, int(np.argmax(Hcol)) + 1, j
+        Hprev[1:] = Hcol
+    return best, bi, bj
+
+
 def find_max(H: np.ndarray) -> Tuple[int, int, float]:
     """(i, j, value): first maximum in column-major order (Eigen maxCoeff)."""
     flat = np.argmax(H.T)  # row-major argmax of the transpose == column-major

@@ -609,7 +609,10 @@ class PallasEngine:
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.interpret = interpret
-        self._checked = interpret  # interpret mode is trusted
+        # Per-kernel-family miscompile gates; interpret mode is trusted.
+        self._checked = (
+            {"uniform", "profile", "strips", "moves"} if interpret else set()
+        )
         from ..utils.platform import setup_cache
 
         setup_cache()
@@ -621,7 +624,6 @@ class PallasEngine:
         produce a wrong executable; this turns silent corruption into a loud
         failure (raises RuntimeError). Runs once per engine instance.
         """
-        from ..utils.encoding import to_bytes
         from .scan_dp import ScanEngine
 
         rng = np.random.default_rng(12345)
@@ -639,12 +641,47 @@ class PallasEngine:
                     f"{w.tolist()}): suspected miscompile — retry in a fresh "
                     "process or clear the JAX compilation cache"
                 )
-        self._checked = True
+        self._checked.add("uniform" if self.cfg.is_uniform else "profile")
+
+    def _verify_first(self, x_bm, y_bn, m, n, res, need_pos: bool, path: str):
+        """Miscompile gate without the extra compile: the FIRST real batch's
+        results are verified on two lanes against the vectorized numpy
+        oracle (ops/oracle.sw_score_fast, ~50ms/lane). Unlike self_check(),
+        this adds no dedicated small-shape kernel compile — on the remote
+        compile service a whole extra program costs minutes of startup."""
+        from .oracle import sw_score_fast
+
+        m = np.asarray(m)
+        n = np.asarray(n)
+        B0 = x_bm.shape[0]
+        for k in {0, B0 - 1}:
+            want = sw_score_fast(x_bm[k, : m[k]], y_bn[k, : n[k]], self.cfg)
+            got_s = int(np.asarray(res["score"])[k])
+            got = (
+                (got_s, int(np.asarray(res["i"])[k]), int(np.asarray(res["j"])[k]))
+                if need_pos else (got_s,)
+            )
+            if got != want[: len(got)]:
+                raise RuntimeError(
+                    f"Pallas kernel first-batch check FAILED (lane {k}: "
+                    f"{got} != oracle {want[:len(got)]}): suspected "
+                    "miscompile — retry in a fresh process or clear the JAX "
+                    "compilation cache"
+                )
+        self._checked.add(path)
 
     def score_batch(self, x_bm, y_bn, m, n, need_pos: bool = True):
-        if not self._checked:
-            self.self_check()
-        return self.score_prepared(self.prepare(x_bm, y_bn, m, n), need_pos=need_pos)
+        x_bm = np.asarray(x_bm, np.uint8)
+        y_bn = np.asarray(y_bn, np.uint8)
+        prep = self.prepare(x_bm, y_bn, m, n)
+        res = self.score_prepared(prep, need_pos=need_pos)
+        path = (
+            "strips" if prep["strips"]
+            else ("uniform" if self.cfg.is_uniform else "profile")
+        )
+        if path not in self._checked:
+            self._verify_first(x_bm, y_bn, m, n, res, need_pos, path)
+        return res
 
     def score_batch_moves(self, x_bm, y_bn, m, n):
         """Score + argmax + per-cell traceback move codes in one kernel pass
@@ -653,10 +690,10 @@ class PallasEngine:
         'B0'; pad lanes have i == 0 (inactive for the walk)."""
         if not self.cfg.is_uniform:
             raise ValueError("moves kernel supports uniform scoring only")
-        if np.asarray(x_bm).shape[1] > MAX_M:
+        x_bm = np.asarray(x_bm, np.uint8)
+        y_bn = np.asarray(y_bn, np.uint8)
+        if x_bm.shape[1] > MAX_M:
             raise ValueError("moves kernel supports single-strip reads only")
-        if not self._checked:
-            self.self_check()
         prep = self.prepare(x_bm, y_bn, m, n)
         best, bestd, moves = _call_uniform_moves(
             *prep["args"],
@@ -664,9 +701,12 @@ class PallasEngine:
             gap=int(self.cfg.gap_penalty), interpret=self.interpret,
         )
         score, i, j = _reduce_best(best, bestd)
-        return {
+        res = {
             "score": score, "i": i, "j": j, "moves": moves, "B0": prep["B0"],
         }
+        if "moves" not in self._checked:
+            self._verify_first(x_bm, y_bn, m, n, res, need_pos=True, path="moves")
+        return res
 
     def prepare(self, x_bm, y_bn, m, n, device: bool = False):
         """Pad/transpose inputs into kernel layout. With device=True the

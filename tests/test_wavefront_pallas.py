@@ -102,3 +102,32 @@ def test_moves_kernel_traceback_matches_scan(rng):
         assert g.pos == w.pos
         assert g.consensus_x == w.consensus_x
         assert g.consensus_y == w.consensus_y
+
+
+def test_first_batch_verification_gate(rng):
+    """The miscompile gate verifies the first real batch per kernel family
+    against the fast numpy oracle — and raises loudly on a wrong result."""
+    import numpy as np
+    import pytest
+    from parallel_genomeseq_tpu.ops.wavefront_pallas import PallasEngine
+
+    eng = PallasEngine(interpret=True)
+    eng._checked = set()  # interpret mode trusts by default; force the gate
+    x = rng.integers(65, 69, (4, 24)).astype(np.uint8)
+    y = rng.integers(65, 69, (4, 96)).astype(np.uint8)
+    m = np.full(4, 24)
+    n = np.full(4, 96)
+    res = eng.score_batch(x, y, m, n)
+    assert eng._checked == {"uniform"}
+
+    # moves path has its own gate
+    eng._checked = set()
+    eng.score_batch_moves(x, y, m, n)
+    assert eng._checked == {"moves"}
+
+    # a corrupted result must raise
+    eng._checked = set()
+    bad = dict(res)
+    bad["score"] = np.asarray(res["score"]) + 1
+    with pytest.raises(RuntimeError, match="first-batch check FAILED"):
+        eng._verify_first(x, y, m, n, bad, need_pos=True, path="uniform")
