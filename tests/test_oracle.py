@@ -110,3 +110,25 @@ def test_traceback_first_row_stop():
     assert res.pos == 3
     assert res.consensus_x == "G"
     assert res.consensus_y == "G"
+
+
+def test_sw_score_fast_matches_matrix(rng):
+    """The vectorized startup-check oracle must agree with the per-cell DP
+    (score and column-major argmax) for uniform and BLOSUM scoring."""
+    from parallel_genomeseq_tpu.ops import oracle
+    from parallel_genomeseq_tpu.ops.substitution import blosum_config
+    from parallel_genomeseq_tpu.utils.config import ScoringConfig
+
+    for t in range(12):
+        protein = t % 2 == 1
+        alpha = list("ARNDCQEGHILKMFPSTWYV") if protein else list("ACGT")
+        x = "".join(rng.choice(alpha, int(rng.integers(3, 50))))
+        y = "".join(rng.choice(alpha, int(rng.integers(3, 100))))
+        cfg = (
+            blosum_config("blosum50", gap_penalty=5.0)
+            if protein else ScoringConfig()
+        )
+        H = oracle.sw_matrix(x, y, cfg)
+        i, j, v = oracle.find_max(H)
+        want = (int(v), i, j) if v > 0 else (0, 0, 0)
+        assert oracle.sw_score_fast(x, y, cfg) == want, (t, x, y)
