@@ -148,7 +148,7 @@ class AlignServer:
                     al = ChunkedAligner(cfg=self.cfg, chunk=cc)
                 else:
                     al = self._chunked
-                results.extend(al.align_batch(batch, ref))
+                results.extend(al.align_batch(batch, ref, traceback=traceback))
             else:
                 results.extend(
                     self._batch.align_batch(batch, [ref], traceback=traceback)
@@ -198,23 +198,30 @@ def serve_forever(server: AlignServer, sock_path: str):
             conn, _ = srv.accept()
             with conn:
                 buf = b""
-                while True:
-                    chunk = conn.recv(1 << 20)
-                    if not chunk:
-                        break
-                    buf += chunk
-                    while b"\n" in buf:
-                        line, buf = buf.split(b"\n", 1)
-                        if not line.strip():
-                            continue
-                        try:
-                            reply = server.handle(json.loads(line.decode()))
-                        except Exception as e:  # keep the server alive
-                            reply = {"ok": False, "error": repr(e)}
-                        shutdown = reply.pop("_shutdown", False) or shutdown
-                        conn.sendall(json.dumps(reply).encode() + b"\n")
-                    if shutdown:
-                        break
+                try:
+                    while True:
+                        chunk = conn.recv(1 << 20)
+                        if not chunk:
+                            break
+                        buf += chunk
+                        while b"\n" in buf:
+                            line, buf = buf.split(b"\n", 1)
+                            if not line.strip():
+                                continue
+                            try:
+                                reply = server.handle(json.loads(line.decode()))
+                            except Exception as e:  # keep the server alive
+                                reply = {"ok": False, "error": repr(e)}
+                            shutdown = reply.pop("_shutdown", False) or shutdown
+                            conn.sendall(json.dumps(reply).encode() + b"\n")
+                        if shutdown:
+                            break
+                except OSError as e:
+                    # A client that disconnects mid-request (BrokenPipeError,
+                    # ConnectionResetError) only drops its own connection; the
+                    # long-lived server — whose whole point is amortizing the
+                    # compile tax — stays up.
+                    print(f"serve: client connection error: {e!r}", flush=True)
     os.unlink(sock_path)
     print("serve: shut down", flush=True)
 

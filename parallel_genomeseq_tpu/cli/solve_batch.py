@@ -11,10 +11,12 @@ map as:
                        wavefront implementation runs)
     mt_simd         -> the Pallas kernel (SIMD+MT fused by construction)
 
-CSV schema keeps the reference's column meaning
-(src/omp_sw_solve_small.cpp:223-239): n_reads, n_lanes, engine,
-avg_t_calcscore (score+traceback per read), avg_t_adread (wavefront sweep),
-avg_t_adisum (per-diagonal sum; equals sweep time for fused kernels).
+CSV schema keeps the reference's column structure
+(src/omp_sw_solve_small.cpp:223-239) with independently measured levels:
+n_reads, n_lanes, engine, avg_t_calcscore (whole align call per read),
+avg_t_sweep (score wavefront, synced), avg_t_walk (traceback walk + decode;
+0 without --traceback). The reference's per-diagonal sum has no observable
+analog inside a fused TPU kernel, so the second level is the walk stage.
 
 Usage:
     python -m parallel_genomeseq_tpu.cli.solve_batch 64 --engine pallas \
@@ -56,30 +58,33 @@ def main(argv=None):
     # Warm-up (compile) on the first batch shape.
     aligner.align_batch(reads[: min(len(reads), args.batch_size)], [ref], traceback=args.traceback)
 
-    t_calc = t_sweep = 0.0
+    t_calc = t_sweep = t_walk = 0.0
     t0_all = time.perf_counter()
     for batch in common.batched(reads, args.batch_size):
         t0 = time.perf_counter()
         results = aligner.align_batch(batch, [ref], traceback=args.traceback)
         t_calc += time.perf_counter() - t0
         t_sweep += results[0].timings[0] / 1e6
+        t_walk += results[0].timings[1] / 1e6
     total = time.perf_counter() - t0_all
 
     n = len(reads)
     avg_calc = t_calc / n * 1e6
     avg_sweep = t_sweep / n * 1e6
+    avg_walk = t_walk / n * 1e6
     import os
 
     os.makedirs(os.path.dirname(args.timing_file) or ".", exist_ok=True)
     append_timing_row(
         args.timing_file,
-        ["n_reads", "n_lanes", "engine", "avg_t_calcscore", "avg_t_adread", "avg_t_adisum"],
-        [n, args.batch_size, args.engine, f"{avg_calc:.1f}", f"{avg_sweep:.1f}", f"{avg_sweep:.1f}"],
+        ["n_reads", "n_lanes", "engine", "avg_t_calcscore", "avg_t_sweep", "avg_t_walk"],
+        [n, args.batch_size, args.engine, f"{avg_calc:.1f}", f"{avg_sweep:.1f}", f"{avg_walk:.1f}"],
     )
     cells = sum(len(r) for r in reads) * len(ref)
     print(
         f"solve_batch: {n} reads, engine {args.engine}, "
         f"avg calc {avg_calc:.0f} us/read, sweep {avg_sweep:.0f} us/read, "
+        f"walk {avg_walk:.0f} us/read, "
         f"{cells/total/1e9:.2f} GCUPS end-to-end"
     )
     print(f"timing row appended to {args.timing_file}")

@@ -44,6 +44,11 @@ def main(argv=None):
     p.add_argument("--n-reads", type=int, default=100)
     p.add_argument("--overlap-ratio", type=float, default=2.0)
     p.add_argument(
+        "--kernel-gcups", type=float, default=None,
+        help="measured kernel GCUPS for the efficiency model (default: the "
+        "latest recorded bench.py result, else 271)",
+    )
+    p.add_argument(
         "--traceback", action="store_true",
         help="include winner traceback in the timed path (the reference's "
         "calculateScore does; scoring-only is the default here since the "
@@ -102,11 +107,31 @@ def main(argv=None):
 
     g = np.array(gcups_per_read)
     print(f"GCUPS mean {g.mean():.2f} std {g.std():.2f} (useful cells / wall time, batches of {args.batch_size})")
-    # Reference efficiency model with a present-day per-chip kernel rate.
-    percore = 196.0  # measured Pallas kernel GCUPS on this chip (bench.py)
+    # Reference efficiency model with a measured per-chip kernel rate (the
+    # reference hard-codes Leonhard's 4.6 GCUPS/core, src/sw_solve_big.cpp:73).
+    percore = args.kernel_gcups or _measured_kernel_gcups()
     model = npiece * percore / (len(ref) + 2 * (npiece - 1) * overlap) * len(ref) / npiece
     print(f"Overlap-efficiency model at {percore:.0f} GCUPS kernel rate: {model:.1f} GCUPS")
     return 0
+
+
+def _measured_kernel_gcups(default: float = 271.0) -> float:
+    """Latest recorded bench.py kernel rate (BENCH_r*.json at the repo root),
+    so the efficiency model tracks measurements instead of a stale constant."""
+    import glob
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    best = default
+    for path in sorted(glob.glob(str(root / "BENCH_r*.json"))):
+        try:
+            rec = json.loads(Path(path).read_text().strip().splitlines()[-1])
+            if "GCUPS" in str(rec.get("unit", "")) and rec.get("value"):
+                best = float(rec["value"])
+        except (ValueError, OSError, IndexError):
+            continue
+    return best
 
 
 if __name__ == "__main__":

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import argparse
 import sys
+import time
 
 import numpy as np
 
@@ -41,28 +42,45 @@ def read_slice(path, process_id: int, num_processes: int):
     native positioned fixed-record reader when records are uniform (the
     usual case: fastq_to_lines output), so each process reads only its own
     byte range like MPI_File_read_at_all."""
+    import os
+
     from ..seqio import native_io
 
     with open(path, "rb") as f:
         first = f.readline()
     rec = len(first)  # payload + newline
-    total = native_io.count_records(path, rec)
-    per = (total + num_processes - 1) // num_processes
-    lo = process_id * per
-    block = native_io.read_records(path, rec, lo, per)
-    # Uniform-record fast path: verify by re-decoding; fall back to the
-    # whole-file line reader for ragged reads.
-    local = ["".join(map(chr, row)).strip() for row in block]
-    if all(len(r) == rec - 1 for r in local) or num_processes == 1:
-        n_total = total
-    else:
-        with open(path) as f:
-            reads = [l.strip() for l in f if l.strip()]
-        per = (len(reads) + num_processes - 1) // num_processes
+    size = os.path.getsize(path)
+    # Uniform-record fast path requires the file to be an exact multiple of
+    # the first record's size AND every sliced record to decode as one full
+    # line (payload + trailing newline, no embedded newline). A ragged file
+    # can pass the size check by coincidence, so the decode check always
+    # runs — including in single-process mode, where the old code skipped it
+    # and sliced ragged reads at wrong byte offsets.
+    if rec > 1 and first.endswith(b"\n") and size % rec == 0:
+        total = native_io.count_records(path, rec)
+        per = (total + num_processes - 1) // num_processes
         lo = process_id * per
-        local = reads[lo : lo + per]
-        n_total = len(reads)
-    return n_total, local, lo
+        block = native_io.read_records(path, rec, lo, per)
+        # Validate the slice against the raw bytes (read_records strips the
+        # record's final byte): uniform records means every newline in the
+        # slice sits exactly at a record boundary.
+        with open(path, "rb") as f:
+            f.seek(lo * rec)
+            raw = f.read(len(block) * rec)
+        ok = all(
+            raw[k * rec : (k + 1) * rec].endswith(b"\n")
+            and b"\n" not in raw[k * rec : (k + 1) * rec - 1]
+            for k in range(len(block))
+        )
+        if ok:
+            return total, ["".join(map(chr, row)).strip() for row in block], lo
+    # Ragged records: whole-file line reader (each process still keeps only
+    # its own slice in memory as reads; the file is small relative to reads).
+    with open(path) as f:
+        reads = [l.strip() for l in f if l.strip()]
+    per = (len(reads) + num_processes - 1) // num_processes
+    lo = process_id * per
+    return len(reads), reads[lo : lo + per], lo
 
 
 def main(argv=None):
@@ -73,6 +91,10 @@ def main(argv=None):
     p.add_argument("--coordinator", default=None, help="host:port for jax.distributed")
     p.add_argument("--num-processes", type=int, default=1)
     p.add_argument("--process-id", type=int, default=0)
+    p.add_argument(
+        "--merge-timeout", type=float, default=600.0,
+        help="seconds the writer waits for all shards before failing",
+    )
     common.add_chunk_flags(p, npiece_default=4)
     common.add_platform_flags(p)
     args = p.parse_args(argv)
@@ -96,40 +118,63 @@ def main(argv=None):
         f"{len(local_reads)}/{n_total} reads local, ref {len(ref)} bp"
     )
 
+    import jax
+
     aligner = MeshAligner(
-        chunk_cfg=common.chunk_from_args(args), mesh=make_mesh()
+        chunk_cfg=common.chunk_from_args(args),
+        # Each process computes its own read slice on its LOCAL devices (the
+        # MPI worker pattern); no cross-process collective is in the compute.
+        mesh=make_mesh(devices=jax.local_devices()),
     )
     out = aligner.score_reads(local_reads, ref)
 
-    # Process 0 is the writer (the reference's rank size-1 writer pattern);
-    # with jax.distributed each process holds its own slice, and the writer
-    # gathers via the host network filesystem-free path: processes append to
-    # per-process shards, process 0 merges.
+    # Process 0 is the writer (the reference's rank size-1 writer pattern,
+    # src/mpi_sw_solve_small.cpp:148-186): every process writes its shard
+    # atomically (tmp + rename), then process 0 waits for ALL shards before
+    # merging — fixing the round-1 race where an early-finishing process 0
+    # silently skipped the merge.
     import os
 
     os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
     shard_path = f"{args.output}.part{args.process_id}"
-    with open(shard_path, "w") as f:
+    with open(shard_path + ".tmp", "w") as f:
         f.write("index,SEQ,pos_end,score\n")
         for k, read in enumerate(local_reads):
             f.write(f"{offset + k},{read},{int(out['j'][k])},{int(out['score'][k])}\n")
+    os.replace(shard_path + ".tmp", shard_path)
     print(f"wrote shard {shard_path}")
 
-    if args.process_id == 0:
-        # Merge whatever shards exist (all of them in single-process mode;
-        # in multi-host mode run the merge after all processes finish).
-        import glob
+    if args.coordinator:
+        # Real barrier through the jax.distributed coordination service, so
+        # non-writer processes also exit only after every shard is durable.
+        _barrier("pgs_shards_written", args.merge_timeout)
 
-        parts = sorted(glob.glob(f"{args.output}.part*"))
-        if len(parts) == args.num_processes:
-            with open(args.output, "w") as f:
-                f.write("index,SEQ,pos_end,score\n")
-                for part in parts:
-                    with open(part) as pf:
-                        next(pf)
-                        f.write(pf.read())
-            print(f"Done, output file see: {args.output}")
+    if args.process_id == 0:
+        parts = [f"{args.output}.part{p}" for p in range(args.num_processes)]
+        deadline = time.time() + args.merge_timeout
+        while not all(os.path.exists(p) for p in parts):
+            if time.time() > deadline:
+                missing = [p for p in parts if not os.path.exists(p)]
+                print(f"merge timeout: missing shards {missing}", file=sys.stderr)
+                return 1
+            time.sleep(0.05)
+        with open(args.output, "w") as f:
+            f.write("index,SEQ,pos_end,score\n")
+            for part in parts:
+                with open(part) as pf:
+                    next(pf)
+                    f.write(pf.read())
+        print(f"Done, output file see: {args.output}")
     return 0
+
+
+def _barrier(name: str, timeout_s: float):
+    """Block until every process reaches this point (jax.distributed only)."""
+    from jax._src import distributed
+
+    client = getattr(distributed.global_state, "client", None)
+    if client is not None:
+        client.wait_at_barrier(name, timeout_in_ms=int(timeout_s * 1000))
 
 
 if __name__ == "__main__":

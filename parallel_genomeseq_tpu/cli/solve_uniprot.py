@@ -157,7 +157,8 @@ def main(argv=None):
         for (name, seq), (score, pos) in zip(entries, results):
             w.writerow([name, len(seq), score, pos])
 
-    gcups = cells / t_total / 1e9
+    # t_total == 0 when --resume restored every protein (nothing scored).
+    gcups = cells / t_total / 1e9 if t_total else 0.0
     print(f"Scored {cells/1e9:.3f} Gcells in {t_total:.3f}s: {gcups:.2f} GCUPS")
     top = sorted(range(len(entries)), key=lambda k: -results[k][0])[: args.top]
     print("top hits:")

@@ -126,7 +126,15 @@ class BatchSWAligner:
                 res = self.engine.score_batch(xs, ys, m, n, emit_moves=True)
         else:
             res = self.scorer.score_batch(xs, ys, m, n)
+        # Force the score sweep's results so the two timing levels are
+        # independently meaningful (JAX dispatch is async).
+        score = np.asarray(res["score"])
+        ii = np.asarray(res["i"])
+        jj = np.asarray(res["j"])
+        sweep_us = (time.perf_counter() - t0) * 1e6
+        walk_us = 0.0
         if traceback:
+            t1 = time.perf_counter()
             # Walk-length bound: <= M diagonal/north moves plus at most
             # score/gap west moves (score <= match * M), capped by the
             # geometric bound i0 + j0 <= M + N.
@@ -141,13 +149,10 @@ class BatchSWAligner:
             )
             pos = np.asarray(pos)
             consensus = decode_consensus(cx, cy, steps)
-        score = np.asarray(res["score"])
-        ii = np.asarray(res["i"])
-        jj = np.asarray(res["j"])
-        sweep_us = (time.perf_counter() - t0) * 1e6
+            walk_us = (time.perf_counter() - t1) * 1e6
 
         out = []
-        t = Timings(sweep_us=sweep_us, diag_sum_us=sweep_us)
+        t = Timings(sweep_us=sweep_us, walk_us=walk_us)
         for k in range(len(reads)):
             if traceback:
                 cxk, cyk = consensus[k]

@@ -55,6 +55,14 @@ UNROLL = 8  # diagonals per aligned ref-char block
 MAX_M = 2048  # diagonal-axis cap: 5 int32 carries x M x 128 lanes must fit VMEM
 
 
+class EnvelopeError(ValueError):
+    """A batch shape/config falls outside a Pallas kernel's envelope (e.g.
+    strip-length reads with substitution scoring, or scores exceeding the
+    strip kernel's int16 boundary bound). Callers with a general fallback
+    (parallel/chunking.py) catch exactly this — a genuine contract bug still
+    raises loudly instead of silently rerouting to the scan engine."""
+
+
 def _round_up(v: int, mult: int) -> int:
     return ((v + mult - 1) // mult) * mult
 
@@ -689,11 +697,11 @@ class PallasEngine:
         'score'/'i'/'j' of length Bpad and 'moves' (Dpad, Mpad, Bpad) — plus
         'B0'; pad lanes have i == 0 (inactive for the walk)."""
         if not self.cfg.is_uniform:
-            raise ValueError("moves kernel supports uniform scoring only")
+            raise EnvelopeError("moves kernel supports uniform scoring only")
         x_bm = np.asarray(x_bm, np.uint8)
         y_bn = np.asarray(y_bn, np.uint8)
         if x_bm.shape[1] > MAX_M:
-            raise ValueError("moves kernel supports single-strip reads only")
+            raise EnvelopeError("moves kernel supports single-strip reads only")
         prep = self.prepare(x_bm, y_bn, m, n)
         best, bestd, moves = _call_uniform_moves(
             *prep["args"],
@@ -719,12 +727,12 @@ class PallasEngine:
         strips = M0 > MAX_M
         if strips:
             if not self.cfg.is_uniform:
-                raise ValueError(
+                raise EnvelopeError(
                     "strip-mode kernel supports uniform scoring only "
                     "(long protein queries: use the scan engine)"
                 )
             if int(self.cfg.match) * M0 > INT16_BOUND:
-                raise ValueError(
+                raise EnvelopeError(
                     f"match * read_len = {int(self.cfg.match) * M0} exceeds the "
                     f"strip kernel's int16 boundary-row bound {INT16_BOUND}; "
                     "use the scan engine"

@@ -122,17 +122,19 @@ class ChunkedAligner:
         try:
             # Winner selection needs scores only; positions come from the
             # winner re-run below (score-only kernels skip argmax tracking).
+            from ..ops.wavefront_pallas import EnvelopeError
             from ..ops.wavefront_pallas import PallasEngine as _PE
 
             if isinstance(engine, _PE):
                 res = engine.score_batch(xs, ys, m, n, need_pos=False)
             else:
                 res = engine.score_batch(xs, ys, m, n)
-        except ValueError:
-            # Configurations outside the Pallas kernels' envelope (e.g.
+        except EnvelopeError:
+            # Batches outside the Pallas kernels' envelope (e.g.
             # substitution-matrix scoring on strip-length reads, or scores
             # exceeding the int16 boundary bound) fall back to the scan
-            # wavefront, which has no such limits.
+            # wavefront, which has no such limits. Any other error — a
+            # genuine shape/contract bug — propagates.
             if not hasattr(self, "_scan_fallback"):
                 self._scan_fallback = ScanEngine(self.cfg)
             engine = self._scan_fallback
@@ -148,7 +150,7 @@ class ChunkedAligner:
         if not traceback:
             from ..utils.result import Timings
 
-            t = Timings(sweep_us=sweep_us, diag_sum_us=sweep_us)
+            t = Timings(sweep_us=sweep_us)
             return [
                 AlignResult(
                     score=float(scores[r, winner[r]]), pos=0, timings=t

@@ -37,11 +37,17 @@ PIECE_SLOTS = 1 << 10
 
 
 def make_mesh(
-    n_devices: Optional[int] = None, chunk: Optional[int] = None
+    n_devices: Optional[int] = None, chunk: Optional[int] = None,
+    devices: Optional[Sequence] = None,
 ) -> Mesh:
     """Mesh with axes (chunk, batch). ``chunk`` defaults to the largest
-    power-of-two divisor <= sqrt(n) so both axes get parallelism."""
-    devs = jax.devices()
+    power-of-two divisor <= sqrt(n) so both axes get parallelism.
+
+    ``devices`` overrides the device list — multi-process drivers pass
+    ``jax.local_devices()`` so each process runs an independent local mesh
+    over its own read slice (the MPI worker-rank pattern), rather than a
+    global mesh requiring globally-sharded inputs."""
+    devs = list(devices) if devices is not None else jax.devices()
     n = n_devices or len(devs)
     if n > len(devs):
         raise ValueError(
@@ -157,8 +163,30 @@ class MeshAligner:
             )
         if engine not in ("pallas", "scan"):
             raise ValueError(f"unknown engine {engine!r}")
+        if engine == "pallas":
+            # Same mask-free kernel preconditions PallasEngine enforces:
+            # _score_lanes_pallas ignores per-lane m/n and relies on pad-byte
+            # decay, which is only exact for uniform scoring with mismatch < 0
+            # and gap >= 1 (see wavefront_pallas._make_body).
+            if not cfg.is_uniform:
+                raise ValueError(
+                    "MeshAligner engine='pallas' requires uniform scoring "
+                    "(use engine='scan' for substitution matrices)"
+                )
+            if int(cfg.mismatch) >= 0:
+                raise ValueError(
+                    "MeshAligner engine='pallas' requires mismatch < 0 (use engine='scan')"
+                )
+            if int(cfg.gap_penalty) < 1:
+                raise ValueError(
+                    "MeshAligner engine='pallas' requires gap_penalty >= 1 (use engine='scan')"
+                )
         self.engine = engine
         self._fn_cache = {}
+        # Per-instance first-result miscompile gate (remote TPU compiles have
+        # been observed to rarely produce wrong executables); interpret-mode
+        # and scan paths are trusted.
+        self._verified = engine != "pallas" or jax.default_backend() != "tpu"
 
     def _build(self, R, Pp, M, N):
         mesh = self.mesh
@@ -222,9 +250,14 @@ class MeshAligner:
         Pp = self.chunk_cfg.npiece
         ref_b = to_bytes(ref)
         xb = [to_bytes(r) for r in reads]
-        if len(set(len(x) for x in xb)) != 1:
-            # pad to max; ranges follow the longest read (windows only grow)
-            pass
+        # Ragged batches: window geometry follows the LONGEST read (one
+        # shared (Pp, N) window tensor keeps the shard_map program static).
+        # This diverges from ChunkedAligner's per-read ranges
+        # (chunking.py:104-107) in window boundaries only: overlap =
+        # overlap_ratio * max_len >= overlap_ratio * len(read) for every
+        # read, so the containment guarantee (any alignment with reference
+        # span <= overlap_ratio * len(read) lies fully inside some window)
+        # still holds per read, and scores are exact for all lengths.
         mlen = max(len(x) for x in xb)
         ranges = make_string_ranges(
             Pp, mlen, len(ref_b), self.chunk_cfg.overlap_ratio
@@ -257,9 +290,30 @@ class MeshAligner:
         run = self._fn_cache[key]
         gscore, gi, gj, gpid = run(x, y, m, n, lefts, pids)
         k = len(xb)
-        return {
+        out = {
             "score": np.asarray(gscore)[:k],
             "i": np.asarray(gi)[:k],
             "j": np.asarray(gj)[:k],
             "piece": np.asarray(gpid)[:k],
         }
+        if not self._verified:
+            self._verify_first(xb, ref_b, out)
+        return out
+
+    def _verify_first(self, xb, ref_b, out):
+        """First-result miscompile gate (mirrors PallasEngine._verify_first):
+        check two lanes' merged scores against the vectorized numpy oracle on
+        the full reference — the chunk decomposition guarantees the global SW
+        maximum survives the pmax merge, so the scores must be equal."""
+        from ..ops.oracle import sw_score_fast
+
+        for lane in {0, len(xb) - 1}:
+            want = sw_score_fast(xb[lane], ref_b, self.cfg)[0]
+            got = int(out["score"][lane])
+            if got != want:
+                raise RuntimeError(
+                    f"MeshAligner first-result check FAILED (lane {lane}: "
+                    f"score {got} != oracle {want}): suspected miscompile — "
+                    "retry in a fresh process or clear the JAX compilation cache"
+                )
+        self._verified = True

@@ -4,10 +4,11 @@ Mirrors the reference's LocalAligner query surface — getScore/getPos/
 getConsensus_x/getConsensus_y/getTimings (reference: src/aligner/localaligner.h:7-17)
 — as a plain dataclass.
 
-Timing surface keeps the reference's two levels (whole wavefront sweep and
-sum of per-diagonal times, reference: src/aligner/similaritymatrix.cpp:30-35):
-on TPU the per-step breakdown inside a fused kernel is not observable, so both
-levels report kernel wall time unless the sweep runs step-by-step.
+Timing surface keeps the reference's two-level structure (whole wavefront
+sweep and a finer second level, reference: src/aligner/similaritymatrix.cpp:30-35)
+with TPU-meaningful levels: inside a fused kernel the per-diagonal breakdown is
+not observable, so the second level is the traceback stage (device walk +
+host consensus decode) — the other genuinely separate phase of calculateScore.
 """
 
 from __future__ import annotations
@@ -17,13 +18,15 @@ import dataclasses
 
 @dataclasses.dataclass(frozen=True)
 class Timings:
-    """Microsecond timings: [0] whole wavefront sweep, [1] per-diagonal sum."""
+    """Microsecond timings: [0] score sweep (host prep + device wavefront,
+    synced), [1] traceback walk + consensus decode (0 for score-only calls).
+    Each level is measured independently — neither is a copy of the other."""
 
     sweep_us: float = 0.0
-    diag_sum_us: float = 0.0
+    walk_us: float = 0.0
 
     def __getitem__(self, i: int) -> float:
-        return (self.sweep_us, self.diag_sum_us)[i]
+        return (self.sweep_us, self.walk_us)[i]
 
 
 @dataclasses.dataclass(frozen=True)

@@ -81,6 +81,63 @@ def test_solve_uniprot_synthetic(tmp_path, rng, capsys):
     assert any("planted" in l for l in top)
 
 
+def test_read_slice_ragged_single_process(tmp_path):
+    """Ragged line-per-read files must decode correctly even in
+    single-process mode (round-1 bug: the fixed-record fast path was
+    unconditionally trusted when num_processes == 1)."""
+    from parallel_genomeseq_tpu.cli.solve_dist import read_slice
+
+    reads = ["ACGTACGTA", "ACG", "ACGTACGTACGTACGTAC", "ACGTACGT"]
+    path = tmp_path / "ragged.txt"
+    path.write_text("\n".join(reads) + "\n")
+    n_total, local, lo = read_slice(str(path), 0, 1)
+    assert (n_total, lo) == (4, 0)
+    assert local == reads
+    # And the 2-process slices must partition the read set.
+    n0, l0, o0 = read_slice(str(path), 0, 2)
+    n1, l1, o1 = read_slice(str(path), 1, 2)
+    assert n0 == n1 == 4 and o0 == 0 and o1 == 2
+    assert l0 + l1 == reads
+
+
+def test_read_slice_uniform_records(tmp_path):
+    """Uniform fixed-record files take the positioned-read fast path and
+    produce identical slicing."""
+    from parallel_genomeseq_tpu.cli.solve_dist import read_slice
+
+    reads = [f"ACGTACG{k}" for k in range(6)]
+    path = tmp_path / "uniform.txt"
+    path.write_text("\n".join(reads) + "\n")
+    parts = [read_slice(str(path), p, 3) for p in range(3)]
+    assert all(n == 6 for n, _, _ in parts)
+    assert [r for _, local, _ in parts for r in local] == reads
+
+
+def test_solve_uniprot_resume_complete(tmp_path, rng, capsys):
+    """Resuming a fully-completed run must exit 0 (round-1 bug:
+    ZeroDivisionError computing GCUPS over zero scored cells)."""
+    from parallel_genomeseq_tpu.cli.solve_uniprot import main
+
+    alpha = list("ARNDCQEGHILKMFPSTWYV")
+    qf = tmp_path / "q.fasta"
+    qf.write_text(">q\n" + "".join(rng.choice(alpha, 30)) + "\n")
+    db = tmp_path / "db.fasta"
+    with open(db, "w") as f:
+        for k in range(4):
+            f.write(f">p{k}\n" + "".join(rng.choice(alpha, 60)) + "\n")
+    out = tmp_path / "o.csv"
+    ckpt = tmp_path / "o.csv.ckpt"
+    base = [
+        "--platform", "cpu", "--query", str(qf), "--database", str(db),
+        "--output", str(out), "--batch-size", "4", "--checkpoint", str(ckpt),
+    ]
+    assert main(base) == 0
+    full = out.read_text()
+    out.unlink()
+    assert main(base + ["--resume"]) == 0
+    assert out.read_text() == full
+
+
 def test_solve_uniprot_checkpoint_resume(tmp_path, rng, capsys):
     from parallel_genomeseq_tpu.cli.solve_uniprot import main
 

@@ -52,6 +52,46 @@ def test_mesh_matches_single_device_chunked(rng):
         assert int(out["j"][k]) == got[k].max_j, k
 
 
+def test_mesh_ragged_reads_match_chunked(rng):
+    """Ragged read lengths: MeshAligner's shared max-read window geometry
+    must still produce exact scores and the same winning position as the
+    per-read-geometry ChunkedAligner (max is unique for planted reads)."""
+    ref = random_dna(rng, 1200)
+    reads = [ref[10:40], ref[300:390], ref[700:755], ref[1050:1190]]
+    chunk = ChunkConfig(npiece=4, overlap_ratio=2.0)
+    mal = MeshAligner(chunk_cfg=chunk, mesh=make_mesh(8))
+    out = mal.score_reads(reads, ref)
+    cal = ChunkedAligner(chunk=chunk, score_engine="scan")
+    got = cal.align_batch(reads, ref)
+    for k, read in enumerate(reads):
+        H = oracle.sw_matrix(read, ref)
+        _, _, ov = oracle.find_max(H)
+        assert int(out["score"][k]) == ov == got[k].score, k
+        assert int(out["j"][k]) == got[k].max_j, k
+
+
+def test_mesh_pallas_engine_preconditions():
+    """engine='pallas' must reject configs outside the mask-free kernel
+    envelope up front (same contract as PallasEngine.__init__) instead of
+    silently returning wrong scores from padded lanes."""
+    from parallel_genomeseq_tpu.ops.substitution import blosum_config
+    from parallel_genomeseq_tpu.utils.config import ScoringConfig
+
+    mesh = make_mesh(2)
+    with pytest.raises(ValueError, match="mismatch < 0"):
+        MeshAligner(
+            cfg=ScoringConfig(match=3, mismatch=0, gap_penalty=2),
+            mesh=mesh, engine="pallas",
+        )
+    with pytest.raises(ValueError, match="gap_penalty >= 1"):
+        MeshAligner(
+            cfg=ScoringConfig(match=3, mismatch=-3, gap_penalty=0),
+            mesh=mesh, engine="pallas",
+        )
+    with pytest.raises(ValueError, match="uniform"):
+        MeshAligner(cfg=blosum_config("blosum62"), mesh=mesh, engine="pallas")
+
+
 def test_graft_entry_points():
     import importlib.util, pathlib
 
