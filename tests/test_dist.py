@@ -1,0 +1,112 @@
+"""Multi-PROCESS distributed execution tests.
+
+The reference's defining distribution artifact is a real multi-process run
+(mpiexec -np N, src/mpi_sw_solve_small.cpp:36-59,89-186). These tests launch
+actual OS processes running cli.solve_dist with jax.distributed.initialize
+over a localhost coordinator (the DCN-process-group analog of MPI_Init) and
+assert the writer-process merge byte-matches the single-process result.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _write_reads(path, n=24, ragged=False):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    ref_path = "/root/reference/data/data_small/genome.chr22.5K.fa"
+    lines = [l.strip() for l in open(ref_path) if not l.startswith(">")]
+    ref = "".join(lines)
+    reads = []
+    for k in range(n):
+        ln = 80 + (17 * k) % 60 if ragged else 100
+        s = int(rng.integers(0, len(ref) - ln))
+        reads.append(ref[s : s + ln])
+    Path(path).write_text("\n".join(reads) + "\n")
+    return ref_path
+
+
+def _run_solve_dist(reads, output, *, nproc, pid, coordinator=None, env=None):
+    cmd = [
+        sys.executable, "-m", "parallel_genomeseq_tpu.cli.solve_dist",
+        "--reads", str(reads), "--output", str(output), "--platform", "cpu",
+        "--npiece", "2", "--num-processes", str(nproc), "--process-id", str(pid),
+        "--merge-timeout", "120",
+    ]
+    if coordinator:
+        cmd += ["--coordinator", coordinator]
+    e = dict(os.environ, JAX_PLATFORMS="cpu",
+             XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    if env:
+        e.update(env)
+    return subprocess.Popen(
+        cmd, cwd=REPO, env=e,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+
+
+@pytest.mark.parametrize("use_coordinator", [True, False],
+                         ids=["jax_distributed", "independent"])
+def test_two_process_merge_matches_single(tmp_path, use_coordinator):
+    """2 real processes (with and without a jax.distributed process group)
+    must produce a merged CSV identical to the single-process run."""
+    if not os.path.exists("/root/reference/data/data_small/genome.chr22.5K.fa"):
+        pytest.skip("reference data not present")
+    reads = tmp_path / "reads.txt"
+    _write_reads(reads, n=24, ragged=True)
+
+    single = tmp_path / "single.csv"
+    p = _run_solve_dist(reads, single, nproc=1, pid=0)
+    out, _ = p.communicate(timeout=300)
+    assert p.returncode == 0, out
+    assert single.exists()
+
+    merged = tmp_path / "merged.csv"
+    coord = f"localhost:{_free_port()}" if use_coordinator else None
+    procs = [
+        _run_solve_dist(reads, merged, nproc=2, pid=pid, coordinator=coord)
+        for pid in (1, 0)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o
+    assert merged.read_text() == single.read_text()
+    if use_coordinator:
+        assert any("2 processes" in o or "process 0/2" in o for o in outs)
+
+
+def test_writer_waits_for_slow_shard(tmp_path):
+    """The round-1 merge race: process 0 finishing first must WAIT for the
+    other shard instead of silently skipping the merge. Simulated by
+    launching process 1 only after process 0 is already running."""
+    if not os.path.exists("/root/reference/data/data_small/genome.chr22.5K.fa"):
+        pytest.skip("reference data not present")
+    import time
+
+    reads = tmp_path / "reads.txt"
+    _write_reads(reads, n=8)
+    merged = tmp_path / "merged.csv"
+    p0 = _run_solve_dist(reads, merged, nproc=2, pid=0)
+    time.sleep(3.0)  # let process 0 reach (or pass) its shard write
+    p1 = _run_solve_dist(reads, merged, nproc=2, pid=1)
+    o0, _ = p0.communicate(timeout=300)
+    o1, _ = p1.communicate(timeout=300)
+    assert p0.returncode == 0, o0
+    assert p1.returncode == 0, o1
+    assert merged.exists()
+    body = merged.read_text().strip().splitlines()
+    assert len(body) == 9  # header + 8 reads
