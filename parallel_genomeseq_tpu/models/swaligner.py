@@ -103,8 +103,17 @@ class BatchSWAligner:
 
         t0 = time.perf_counter()
         pallas_moves = False
+        strip_res = None
+        # Walk-length bound: <= M diagonal/north moves plus at most
+        # score/gap west moves (score <= match * M), capped by the
+        # geometric bound i0 + j0 <= M + N.
+        gapv = max(float(self.cfg.gap_penalty), 1e-9)
+        matchv = max(float(self.cfg.match), 1.0) if self.cfg.is_uniform else float(
+            np.asarray(self.cfg.matrix).max()
+        )
+        max_steps = min(int(M + matchv * M / gapv) + 8, M + N + 1)
         if traceback:
-            from ..ops.wavefront_pallas import MAX_M, PallasEngine
+            from ..ops.wavefront_pallas import EnvelopeError, MAX_M, PallasEngine
 
             if (
                 isinstance(self.scorer, PallasEngine)
@@ -122,6 +131,17 @@ class BatchSWAligner:
                 res = resp
                 xs, ys, M = xs_w, ys_w, Mp  # walk over the padded geometry
                 pallas_moves = True
+            elif isinstance(self.scorer, PallasEngine) and self.cfg.is_uniform:
+                # Strip-length reads: checkpointed strip recompute — the
+                # scan emit_moves tensor would be O(D*M*B) (~40 GB at the
+                # solve_big winner shape).
+                try:
+                    strip_res = self.scorer.score_batch_strip_moves(
+                        xs, ys, m, n, max_steps=max_steps
+                    )
+                    res = strip_res
+                except EnvelopeError:
+                    res = self.engine.score_batch(xs, ys, m, n, emit_moves=True)
             else:
                 res = self.engine.score_batch(xs, ys, m, n, emit_moves=True)
         else:
@@ -135,20 +155,20 @@ class BatchSWAligner:
         walk_us = 0.0
         if traceback:
             t1 = time.perf_counter()
-            # Walk-length bound: <= M diagonal/north moves plus at most
-            # score/gap west moves (score <= match * M), capped by the
-            # geometric bound i0 + j0 <= M + N.
-            gap = max(float(self.cfg.gap_penalty), 1e-9)
-            match = max(float(self.cfg.match), 1.0) if self.cfg.is_uniform else float(
-                np.asarray(self.cfg.matrix).max()
-            )
-            max_steps = min(int(M + match * M / gap) + 8, M + N + 1)
-            pos, cx, cy, steps = walk_moves(
-                res["moves"], np.ascontiguousarray(xs.T), ys,
-                res["i"], res["j"], max_steps=max_steps,
-            )
-            pos = np.asarray(pos)
-            consensus = decode_consensus(cx, cy, steps)
+            if strip_res is not None:
+                # Walk already done level-by-level inside the engine
+                # (sweep_us covers it); only the string decode remains.
+                pos = np.asarray(strip_res["pos"])
+                consensus = decode_consensus(
+                    strip_res["cx"], strip_res["cy"], strip_res["steps"]
+                )
+            else:
+                pos, cx, cy, steps = walk_moves(
+                    res["moves"], np.ascontiguousarray(xs.T), ys,
+                    res["i"], res["j"], max_steps=max_steps,
+                )
+                pos = np.asarray(pos)
+                consensus = decode_consensus(cx, cy, steps)
             walk_us = (time.perf_counter() - t1) * 1e6
 
         out = []

@@ -89,6 +89,60 @@ def walk_moves(moves, x_mb, y_bn, i0, j0, *, max_steps: int):
     return pos, cx, cy, steps
 
 
+@functools.partial(jax.jit, static_argnames=("max_steps",))
+def walk_strip_level(moves, x_strip, y_bn, base_row, state, *, max_steps: int):
+    """Advance the batched greedy walk through ONE row-strip of the DP
+    matrix (strip-length-read traceback; see PallasEngine.score_batch_strip_moves).
+
+    moves:   (D, S, B) uint8 move/stop codes of the strip rows
+             [base_row, base_row + S), recomputed from the checkpointed
+             boundary row (exact full-matrix values).
+    x_strip: (S, B) uint8 read chars of the strip rows.
+    y_bn:    (B, N) uint8 reference chars.
+    base_row: global 0-based row index of the strip's first row (traced, so
+             one compiled program serves every strip level).
+    state:   (i, j, pos, active, cx, cy, steps) carried across levels; lanes
+             whose current row is outside this strip pass through untouched,
+             lanes that cross the strip's top edge pause until their level.
+
+    Emissions go to per-lane slots cx[steps[b], b] (lanes progress unevenly
+    across levels, so the slot is data-dependent — a scatter, unlike the
+    single-strip walk's static row writes).
+    """
+    D, S, B = moves.shape
+    N = y_bn.shape[1]
+    lanes = jnp.arange(B)
+    Mbuf = state[4].shape[0]  # cx rows
+
+    def body(_, st):
+        i, j, pos, active, cx, cy, steps = st
+        inlevel = active & (i - 1 >= base_row)
+        r = jnp.clip(i - 1 - base_row, 0, S - 1)
+        d = jnp.clip(i + j - 2 - base_row, 0, D - 1)
+        mv = moves[d, r, lanes]
+        stop = (mv & STOP_BIT) != 0
+        code = mv & np.uint8(3)
+        xc = x_strip[r, lanes]
+        yc = y_bn[lanes, jnp.clip(j - 1, 0, N - 1)]
+        go_w = (code == MOVE_W) & ~stop
+        go_n = (code == MOVE_N) & ~stop
+        emit_x = jnp.where(go_w, GAP_BYTE, xc)
+        emit_y = jnp.where(go_n, GAP_BYTE, yc)
+        slot = jnp.where(inlevel, steps, Mbuf)  # out-of-range rows drop
+        cx = cx.at[slot, lanes].set(emit_x, mode="drop")
+        cy = cy.at[slot, lanes].set(emit_y, mode="drop")
+        steps = jnp.where(inlevel, steps + 1, steps)
+        pos = jnp.where(inlevel & stop, j, pos)
+        di = jnp.where(go_w, 0, 1)
+        dj = jnp.where(go_n, 0, 1)
+        i = jnp.where(inlevel & ~stop, i - di, i)
+        j = jnp.where(inlevel & ~stop, j - dj, j)
+        active = active & ~(inlevel & stop)
+        return (i, j, pos, active, cx, cy, steps)
+
+    return jax.lax.fori_loop(0, max_steps, body, state)
+
+
 def decode_consensus(cx, cy, steps) -> List[Tuple[str, str]]:
     """Device buffers -> per-lane (consensus_x, consensus_y) strings."""
     cx = np.asarray(cx)

@@ -412,6 +412,25 @@ NARROW_ENABLED = False
 def _kernel_strips(x_ref, y_ref, best_ref, bestd_ref,
                    lastrow_ref, *, nblk: int, match: int, mismatch: int,
                    gap: int, slot: int = 0):
+    _strips_body(x_ref, y_ref, best_ref, bestd_ref, None, lastrow_ref,
+                 nblk=nblk, match=match, mismatch=mismatch, gap=gap, slot=slot)
+
+
+def _kernel_strips_ckpt(x_ref, y_ref, best_ref, bestd_ref, rows_ref,
+                        lastrow_ref, *, nblk: int, match: int, mismatch: int,
+                        gap: int, slot: int = 0):
+    """Strip kernel that also CHECKPOINTS each strip's boundary row to the
+    (nstrips, Nlr, B) rows output — the activation-checkpointing trick that
+    makes traceback on strip-length reads possible: the walk later replays
+    one strip at a time from its stored incoming row (exact DP values)
+    instead of materializing the O(D*M*B) move tensor of the whole sweep."""
+    _strips_body(x_ref, y_ref, best_ref, bestd_ref, rows_ref, lastrow_ref,
+                 nblk=nblk, match=match, mismatch=mismatch, gap=gap, slot=slot)
+
+
+def _strips_body(x_ref, y_ref, best_ref, bestd_ref, rows_ref,
+                 lastrow_ref, *, nblk: int, match: int, mismatch: int,
+                 gap: int, slot: int = 0):
     """One strip of the blocked wavefront.
 
     Per local step d' (diagonal within the strip), the row-0 north/north-west
@@ -494,6 +513,11 @@ def _kernel_strips(x_ref, y_ref, best_ref, bestd_ref,
     else:
         best_ref[:] = best
         bestd_ref[:] = bestd
+    if rows_ref is not None:
+        # Snapshot this strip's boundary-row state: exactly what the next
+        # strip's reads would observe (all strips write the same p-range;
+        # positions above it stay 0 from the s_idx == 0 init).
+        rows_ref[0] = lastrow_ref[:]
 
 
 @functools.partial(jax.jit, static_argnames=("match", "mismatch", "gap", "interpret"))
@@ -534,6 +558,127 @@ def _call_strips(xs, ys, *, match, mismatch, gap, interpret):
         interpret=interpret,
     )(xs, ys)
     return best, bestd
+
+
+@functools.partial(jax.jit, static_argnames=("match", "mismatch", "gap", "interpret"))
+def _call_strips_ckpt(xs, ys, *, match, mismatch, gap, interpret):
+    """Strip scoring pass that also returns the (nstrips, Nlr, B) int16
+    boundary-row checkpoints (see _kernel_strips_ckpt)."""
+    M, B = xs.shape
+    Ny = ys.shape[0]
+    S = STRIP_S
+    nstrips = M // S
+    nblk = Ny // UNROLL
+    slot = _pick_slot(nblk * UNROLL, INT16_BOUND)
+    kernel = functools.partial(
+        _kernel_strips_ckpt, nblk=nblk, match=match, mismatch=mismatch,
+        gap=gap, slot=slot,
+    )
+    Nlr = Ny + 4 * UNROLL
+    best, bestd, rows = pl.pallas_call(
+        kernel,
+        grid=(B // LANE, nstrips),
+        in_specs=[
+            pl.BlockSpec((S, LANE), lambda b, s: (s, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ny, LANE), lambda b, s: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((S, LANE), lambda b, s: (s, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, LANE), lambda b, s: (s, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nlr, LANE), lambda b, s: (s, 0, b), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, B), jnp.int32),
+            jax.ShapeDtypeStruct((M, B), jnp.int32),
+            jax.ShapeDtypeStruct((nstrips, Nlr, B), jnp.int16),
+        ],
+        scratch_shapes=[pltpu.VMEM((Nlr, LANE), jnp.int16)],
+        cost_estimate=pl.CostEstimate(
+            flops=16 * (M // S) * (S + Ny) * S * B,
+            bytes_accessed=M * B * 16 + (M // S) * Nlr * B * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xs, ys)
+    return best, bestd, rows
+
+
+def _kernel_strip_moves(x_ref, y_ref, rowin_ref, moves_ref, h1_s, s2_s, ywin_s,
+                        *, match: int, mismatch: int, gap: int):
+    """Replay ONE strip's recurrence from its checkpointed incoming boundary
+    row, emitting per-cell traceback move/stop codes (scan_dp MOVE_*/STOP_BIT
+    encoding). Because the boundary row is the exact forward-pass handoff,
+    the recomputed neighbor values — including row 0's north/north-west
+    inserts from rowin — equal the full-matrix DP values, so the greedy walk
+    over these codes matches the reference's dense-matrix walk
+    (src/aligner/smithwaterman.cpp:41-78) bit for bit."""
+    S, B = x_ref.shape
+    o = pl.program_id(1)
+    x = x_ref[:].astype(jnp.int32)
+
+    @pl.when(o == 0)
+    def _():
+        z = jnp.zeros((S, B), jnp.int32)
+        h1_s[:] = z
+        s2_s[:] = z
+        ywin_s[:] = z
+
+    h1, s2, ywin = h1_s[:], s2_s[:], ywin_s[:]
+    base = pl.multiple_of(o * UNROLL, UNROLL)
+    blk = y_ref[pl.ds(base, UNROLL), :].astype(jnp.int32)
+    rblk = rowin_ref[pl.ds(base, 2 * UNROLL), :].astype(jnp.int32)
+    for k in range(UNROLL):
+        yc = blk[k : k + 1, :]
+        ywin = _shift_down(ywin, yc)
+        sc = jnp.where(x == ywin, match, mismatch)
+        north0 = rblk[k + STRIP_PADW + 1 : k + STRIP_PADW + 2, :]
+        s1 = _shift_down(h1, north0)
+        hd = jnp.maximum(
+            jnp.maximum(s2 + sc, jnp.maximum(h1, s1) - gap), 0
+        )
+        n1, n2, n3 = s2, h1, s1  # nw, west, north
+        nw_mv = (n1 >= n2) & (n1 >= n3)
+        w_mv = (n2 >= n1) & (n2 >= n3)
+        mv = jnp.where(nw_mv, 0, jnp.where(w_mv, 1, 2))
+        stop = (n1 == 0) | (n2 == 0) | (n3 == 0)
+        mv = mv + jnp.where(stop, 4, 0)
+        moves_ref[k] = mv.astype(jnp.uint8)
+        s2 = s1
+        h1 = hd
+    h1_s[:] = h1
+    s2_s[:] = s2
+    ywin_s[:] = ywin
+
+
+@functools.partial(jax.jit, static_argnames=("match", "mismatch", "gap", "interpret"))
+def _call_strip_moves(x_strip, ys, rowin, *, match, mismatch, gap, interpret):
+    S, B = x_strip.shape
+    Ny = ys.shape[0]
+    nblk = Ny // UNROLL
+    kernel = functools.partial(
+        _kernel_strip_moves, match=match, mismatch=mismatch, gap=gap
+    )
+    Nlr = rowin.shape[0]
+    moves = pl.pallas_call(
+        kernel,
+        grid=(B // LANE, nblk),
+        in_specs=[
+            pl.BlockSpec((S, LANE), lambda b, o: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ny, LANE), lambda b, o: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Nlr, LANE), lambda b, o: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (UNROLL, S, LANE), lambda b, o: (o, 0, b), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nblk * UNROLL, S, B), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((S, LANE), jnp.int32)] * 3,
+        cost_estimate=pl.CostEstimate(
+            flops=20 * (S + Ny) * S * B, bytes_accessed=(S + Ny) * S * B,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x_strip, ys, rowin)
+    return moves
 
 
 @jax.jit
@@ -715,6 +860,93 @@ class PallasEngine:
         if "moves" not in self._checked:
             self._verify_first(x_bm, y_bn, m, n, res, need_pos=True, path="moves")
         return res
+
+    def score_batch_strip_moves(self, x_bm, y_bn, m, n, *,
+                                max_steps: int, west_slack: int = 256):
+        """Score + argmax + full greedy traceback for STRIP-length reads
+        (M > MAX_M), in O(M/S * N * B) checkpoint memory instead of the
+        O(D * M * B) move tensor a single emit_moves pass would need (~40 GB
+        at the solve_big winner shape).
+
+        Three stages, matching the reference's dense-matrix calculateScore
+        semantics (src/aligner/smithwaterman.cpp:81-108) exactly:
+        1. checkpointing strip sweep: (score, i, j) + per-strip boundary rows;
+        2. per strip level (top down), replay that strip's moves from its
+           checkpointed incoming row — exact DP values — with
+           _kernel_strip_moves (one transient (D, S, B) uint8 tensor);
+        3. a jitted lockstep walk advances every lane currently inside the
+           level; lanes crossing the strip's top edge resume next level.
+
+        Returns PADDED per-lane arrays: 'score'/'i'/'j'/'pos'/'steps' of
+        length Bpad plus consensus byte buffers 'cx'/'cy' (max_steps, Bpad),
+        and 'B0'. Uniform scoring only (the strip kernel's envelope).
+        """
+        from .traceback import walk_strip_level
+
+        x_bm = np.asarray(x_bm, np.uint8)
+        y_bn = np.asarray(y_bn, np.uint8)
+        prep = self.prepare(x_bm, y_bn, m, n)
+        if not prep["strips"]:
+            raise EnvelopeError(
+                "score_batch_strip_moves is for strip-length reads "
+                "(M > MAX_M); use score_batch_moves"
+            )
+        xs, ys = prep["args"]
+        match = int(self.cfg.match)
+        mismatch = int(self.cfg.mismatch)
+        gap = int(self.cfg.gap_penalty)
+        best, bestd, rows = _call_strips_ckpt(
+            xs, ys, match=match, mismatch=mismatch, gap=gap,
+            interpret=self.interpret,
+        )
+        score, i, j = _reduce_best_strips(best, bestd, None, None)
+        res = {"score": score, "i": i, "j": j}
+        if "strips" not in self._checked:
+            self._verify_first(x_bm, y_bn, m, n, res, need_pos=True,
+                               path="strips")
+
+        M, B = xs.shape
+        S = STRIP_S
+        nstrips = M // S
+        y_walk = jnp.asarray(ys.T)  # (B, Ny), pad bytes beyond true n
+        i = jnp.asarray(i, jnp.int32)
+        j = jnp.asarray(j, jnp.int32)
+        state = (
+            i, j, jnp.zeros((B,), jnp.int32), i > 0,
+            jnp.zeros((max_steps, B), jnp.uint8),
+            jnp.zeros((max_steps, B), jnp.uint8),
+            jnp.zeros((B,), jnp.int32),
+        )
+        zero_row = np.zeros(rows.shape[1:], np.int16)
+        for s in range(nstrips - 1, -1, -1):
+            ih = np.asarray(state[0])
+            ah = np.asarray(state[3])
+            if not (ah & (ih - 1 >= s * S)).any():
+                continue
+            rowin = rows[s - 1] if s > 0 else zero_row
+            moves = _call_strip_moves(
+                xs[s * S : (s + 1) * S], ys, rowin,
+                match=match, mismatch=mismatch, gap=gap,
+                interpret=self.interpret,
+            )
+            x_strip = jnp.asarray(xs[s * S : (s + 1) * S])
+            while True:
+                state = walk_strip_level(
+                    moves, x_strip, y_walk, s * S, state,
+                    max_steps=S + west_slack,
+                )
+                ih = np.asarray(state[0])
+                ah = np.asarray(state[3])
+                # Rare: a lane spent > west_slack gap moves inside this
+                # strip; rerun the level (progress is guaranteed per step).
+                if not (ah & (ih - 1 >= s * S)).any():
+                    break
+            del moves
+        _, _, pos, _, cx, cy, steps = state
+        return {
+            "score": score, "i": res["i"], "j": res["j"], "pos": pos,
+            "cx": cx, "cy": cy, "steps": steps, "B0": prep["B0"],
+        }
 
     def prepare(self, x_bm, y_bn, m, n, device: bool = False):
         """Pad/transpose inputs into kernel layout. With device=True the

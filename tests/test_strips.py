@@ -41,6 +41,66 @@ def test_strips_ragged_lengths(rng):
         np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]))
 
 
+def _mutate(rng, seq, n_sub, n_indel=0):
+    s = list(seq)
+    for _ in range(n_sub):
+        s[int(rng.integers(0, len(s)))] = int(rng.choice(DNA))
+    for _ in range(n_indel):
+        p = int(rng.integers(1, len(s) - 1))
+        if rng.integers(0, 2):
+            s.insert(p, int(rng.choice(DNA)))
+        else:
+            del s[p]
+    return np.array(s, np.uint8)
+
+
+def test_strip_traceback_vs_oracle(rng):
+    """Full greedy traceback on strip-length reads (checkpointed strip
+    recompute) must match the numpy dense-matrix oracle exactly — pos,
+    score, and both consensus strings, including lanes with indels."""
+    from parallel_genomeseq_tpu.models.swaligner import BatchSWAligner
+    from parallel_genomeseq_tpu.ops import oracle
+
+    n = 3200
+    ref = rng.choice(DNA, size=n)
+    m = MAX_M + 256
+    reads = []
+    for k, (subs, indels) in enumerate([(0, 0), (40, 0), (25, 6), (0, 12)]):
+        s = int(rng.integers(0, n - m - 40))
+        reads.append(_mutate(rng, ref[s : s + m], subs, indels)[:m])
+    reads.append(rng.choice(DNA, size=m))  # unrelated read
+    reads = [r.tobytes().decode("ascii") for r in reads]
+    ref_s = ref.tobytes().decode("ascii")
+
+    al = BatchSWAligner(score_engine="pallas")
+    got = al.align_batch(reads, [ref_s])
+    for k, read in enumerate(reads):
+        want = oracle.align(read, ref_s)
+        assert got[k].score == want.score, k
+        assert got[k].pos == want.pos, k
+        assert got[k].consensus_x == want.consensus_x, k
+        assert got[k].consensus_y == want.consensus_y, k
+
+
+def test_strip_traceback_multi_strip_walk(rng):
+    """A read spanning many strips: the walk crosses every strip boundary
+    and the emissions stay contiguous across levels."""
+    from parallel_genomeseq_tpu.models.swaligner import BatchSWAligner
+    from parallel_genomeseq_tpu.ops import oracle
+
+    m = 4 * 256 + 2048  # 12 strips
+    n = m + 500
+    ref = rng.choice(DNA, size=n)
+    read = _mutate(rng, ref[100 : 100 + m], 60, 10)[:m]
+    read_s = read.tobytes().decode("ascii")
+    ref_s = ref.tobytes().decode("ascii")
+    got = BatchSWAligner(score_engine="pallas").align_batch([read_s], [ref_s])[0]
+    want = oracle.align(read_s, ref_s)
+    assert (got.score, got.pos) == (want.score, want.pos)
+    assert got.consensus_x == want.consensus_x
+    assert got.consensus_y == want.consensus_y
+
+
 def test_strips_rejects_unsupported():
     m = MAX_M + 8
     xs = np.full((1, m), 65, np.uint8)
