@@ -86,7 +86,7 @@ def _shift_down(h, first_row):
 
 
 def _make_body(score_of_window, y_ref, M: int, B: int, dtype=jnp.int32,
-               slot: int = 0):
+               slot: int = 0, arith_argmax: bool = False):
     """Shared recurrence: returns the outer-loop body over UNROLL-step blocks.
 
     score_of_window(ywin) -> (M, B) int32 substitution scores for the current
@@ -128,6 +128,20 @@ def _make_body(score_of_window, y_ref, M: int, B: int, dtype=jnp.int32,
             )
             if slot:
                 best = jnp.maximum(best, hd + (slot - 1 - d))
+            elif arith_argmax and track_pos:
+                # Compare-free argmax for the narrow (int16) recurrence:
+                # v5e Mosaic rejects packed 16-bit cmpi, so the strict
+                # hd > best predicate is computed arithmetically as a 0/1
+                # value (hd - best fits int16: both bounded by NARROW_BOUND).
+                # Same tie-break as the compare path: equal scores keep the
+                # earliest diagonal.
+                gt = jnp.minimum(
+                    jnp.maximum(hd - best, np.asarray(0, dtype)),
+                    np.asarray(1, dtype),
+                )
+                best = jnp.maximum(best, hd)
+                d16 = jax.lax.convert_element_type(d, dtype)
+                bestd = bestd + (d16 - bestd) * gt
             elif track_pos:
                 upd = hd > best
                 best = jnp.where(upd, hd, best)
@@ -151,11 +165,27 @@ def _kernel_uniform(x_ref, y_ref, best_ref, bestd_ref,
     s = slot or 1
     mt = np.asarray(match * s, dtype)
     mm = np.asarray(mismatch * s, dtype)
+    narrow = dtype == jnp.int16
 
-    def score_of_window(ywin):
-        return jnp.where(x == ywin, mt, mm)
+    if narrow:
+        # Compare-free char match for the packed int16 path (v5e Mosaic
+        # rejects packed 16-bit cmpi): min(|x - y|, 1) is 0 iff the bytes
+        # match, so score = match - (match - mismatch) * that 0/1 value —
+        # max/min/mul only, all of which lower for packed i16.
+        dd = np.asarray(match - mismatch, dtype)
+        one = np.asarray(1, dtype)
 
-    outer = _make_body(score_of_window, y_ref, M, B, dtype=dtype, slot=slot)
+        def score_of_window(ywin):
+            diff = x - ywin
+            mis01 = jnp.minimum(jnp.maximum(diff, -diff), one)
+            return mt - dd * mis01
+    else:
+
+        def score_of_window(ywin):
+            return jnp.where(x == ywin, mt, mm)
+
+    outer = _make_body(score_of_window, y_ref, M, B, dtype=dtype, slot=slot,
+                       arith_argmax=narrow)
     zeros = jnp.zeros((M, B), dtype)
     init = (zeros, zeros, zeros, zeros, zeros)
     _, _, best, bestd, _ = jax.lax.fori_loop(
@@ -401,19 +431,72 @@ STRIP_S = 256  # rows per strip (multiple of 8)
 STRIP_PADW = (STRIP_S - 2) % 8  # write offset making boundary stores aligned
 INT16_BOUND = 32000
 NARROW_BOUND = 30000  # int16 kernel: max score (match*M) and max diagonal index
-# int16 recurrence: compiles shift/arithmetic but v5e Mosaic rejects packed
-# 16-bit compares ("Target does not support this comparison", arith.cmpi on
-# vector<8x128x2xi16>) — both the char-match compare and the argmax compare
-# hit it. Keep the plumbing (interpret-mode verified) gated off until a
-# target generation supports packed i16 predicates.
+# Packed-int16 recurrence (2 cells per 32-bit vreg slot, the TPU analog of
+# the reference's sub-word lane packing, similaritymatrix.cpp:75-81): a
+# MEASURED DEAD END on v5e Mosaic. Three workaround generations, each with
+# its hardware error on vector<8x128x2xi16>:
+#   1. direct compares (round 1): arith.cmpi "Target does not support this
+#      comparison" — hit by both the char-match and argmax compares;
+#   2. compare-free arithmetic (this file: match via min(|x-y|,1), argmax
+#      via a 0/1 multiply — interpret-verified exact): arith.maxsi "failed
+#      to legalize" — the recurrence's own max ops don't lower either (the
+#      round-1 note missed this because legalization stops at the first
+#      error);
+#   3. bit-trick max b + ((a-b) & ~((a-b)>>15)) to avoid maxsi entirely:
+#      arith.shrsi "failed to legalize".
+# With no packed-i16 max, compare, or shift, the SW recurrence cannot be
+# expressed; packed int8 is strictly narrower support. The arithmetic paths
+# below stay (interpret-verified) so flipping NARROW_ENABLED on a Mosaic
+# generation with packed-i16 max support is a one-line change.
 NARROW_ENABLED = False
+
+
+def _uniform_sow(x_ref, match: int, mismatch: int, slot: int):
+    """score_of_window closure for uniform match/mismatch scoring."""
+    x = x_ref[:].astype(jnp.int32)
+    s = slot or 1
+    mt = np.asarray(match * s, jnp.int32)
+    mm = np.asarray(mismatch * s, jnp.int32)
+    return lambda ywin: jnp.where(x == ywin, mt, mm), x_ref.shape
+
+
+def _profile_sow(prof_ref, alphabet, worst: int, slot: int):
+    """score_of_window closure for substitution-matrix scoring via per-read
+    score profiles (same selector as _kernel_profile: compare the window
+    chars against each alphabet byte — no gathers in the hot loop)."""
+    A, S, B = prof_ref.shape
+    s = slot or 1
+    prof = prof_ref[:] * s if slot else prof_ref[:]
+    worst_s = np.asarray(worst * s, jnp.int32)
+
+    def sow(ywin):
+        sc = jnp.full((S, B), worst_s, jnp.int32)
+        for c in range(A):
+            sc = jnp.where(ywin == np.int32(alphabet[c]), prof[c], sc)
+        return sc
+
+    return sow, (S, B)
 
 
 def _kernel_strips(x_ref, y_ref, best_ref, bestd_ref,
                    lastrow_ref, *, nblk: int, match: int, mismatch: int,
                    gap: int, slot: int = 0):
-    _strips_body(x_ref, y_ref, best_ref, bestd_ref, None, lastrow_ref,
-                 nblk=nblk, match=match, mismatch=mismatch, gap=gap, slot=slot)
+    sow, shape = _uniform_sow(x_ref, match, mismatch, slot)
+    _strips_body(sow, shape, y_ref, best_ref, bestd_ref, None, lastrow_ref,
+                 nblk=nblk, gap=gap, slot=slot)
+
+
+def _kernel_strips_profile(prof_ref, y_ref, best_ref, bestd_ref,
+                           lastrow_ref, *, nblk: int,
+                           alphabet: Tuple[int, ...], worst: int,
+                           gap: int, slot: int = 0):
+    """Substitution-matrix strip kernel: long protein queries (> MAX_M
+    residues, e.g. titin-class) stay on the Pallas fast path instead of
+    falling back to the scan engine (the UNIPROT custom-scoring requirement,
+    src/mpi_sw_solve_uniprot.cpp:120-123)."""
+    sow, shape = _profile_sow(prof_ref, alphabet, worst, slot)
+    _strips_body(sow, shape, y_ref, best_ref, bestd_ref, None, lastrow_ref,
+                 nblk=nblk, gap=gap, slot=slot)
 
 
 def _kernel_strips_ckpt(x_ref, y_ref, best_ref, bestd_ref, rows_ref,
@@ -424,13 +507,13 @@ def _kernel_strips_ckpt(x_ref, y_ref, best_ref, bestd_ref, rows_ref,
     makes traceback on strip-length reads possible: the walk later replays
     one strip at a time from its stored incoming row (exact DP values)
     instead of materializing the O(D*M*B) move tensor of the whole sweep."""
-    _strips_body(x_ref, y_ref, best_ref, bestd_ref, rows_ref, lastrow_ref,
-                 nblk=nblk, match=match, mismatch=mismatch, gap=gap, slot=slot)
+    sow, shape = _uniform_sow(x_ref, match, mismatch, slot)
+    _strips_body(sow, shape, y_ref, best_ref, bestd_ref, rows_ref, lastrow_ref,
+                 nblk=nblk, gap=gap, slot=slot)
 
 
-def _strips_body(x_ref, y_ref, best_ref, bestd_ref, rows_ref,
-                 lastrow_ref, *, nblk: int, match: int, mismatch: int,
-                 gap: int, slot: int = 0):
+def _strips_body(score_of_window, shape, y_ref, best_ref, bestd_ref, rows_ref,
+                 lastrow_ref, *, nblk: int, gap: int, slot: int = 0):
     """One strip of the blocked wavefront.
 
     Per local step d' (diagonal within the strip), the row-0 north/north-west
@@ -444,12 +527,9 @@ def _strips_body(x_ref, y_ref, best_ref, bestd_ref, rows_ref,
     slot-scaled, the int16 boundary rows stay unscaled (scaled on load,
     divided back on store — exact, every carried value is a slot multiple).
     """
-    S, B = x_ref.shape
+    S, B = shape
     s_idx = pl.program_id(1)
-    x = x_ref[:].astype(jnp.int32)
-    N = y_ref.shape[0]
-    s = slot or 1
-    mt, mm, gp = match * s, mismatch * s, gap * s
+    gp = gap * (slot or 1)
 
     @pl.when(s_idx == 0)
     def _():
@@ -468,7 +548,7 @@ def _strips_body(x_ref, y_ref, best_ref, bestd_ref, rows_ref,
             d = o * UNROLL + k
             yc = blk[k : k + 1, :]
             ywin = _shift_down(ywin, yc)
-            sc = jnp.where(x == ywin, mt, mm)
+            sc = score_of_window(ywin)
             # Boundary insert: lastrow[j = d + 1] at p = j + STRIP_PADW.
             north0 = rblk[k + STRIP_PADW + 1 : k + STRIP_PADW + 2, :]
             s1 = _shift_down(h1, north0)
@@ -557,6 +637,50 @@ def _call_strips(xs, ys, *, match, mismatch, gap, interpret):
         ),
         interpret=interpret,
     )(xs, ys)
+    return best, bestd
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("alphabet", "worst", "best_sub", "gap", "interpret"),
+)
+def _call_strips_profile(prof, ys, *, alphabet, worst, best_sub, gap, interpret):
+    A, M, B = prof.shape
+    Ny = ys.shape[0]
+    S = STRIP_S
+    nstrips = M // S
+    nblk = Ny // UNROLL
+    # Boundary rows are int32 here (protein substitution maxima times
+    # strip-length queries overflow the int16 bound the uniform DNA kernel
+    # uses); slot packing engages only when the packed value still fits.
+    slot = _pick_slot(nblk * UNROLL, max(best_sub, 1) * M)
+    kernel = functools.partial(
+        _kernel_strips_profile, nblk=nblk, alphabet=alphabet, worst=worst,
+        gap=gap, slot=slot,
+    )
+    Nlr = Ny + 4 * UNROLL
+    best, bestd = pl.pallas_call(
+        kernel,
+        grid=(B // LANE, nstrips),
+        in_specs=[
+            pl.BlockSpec((A, S, LANE), lambda b, s: (0, s, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ny, LANE), lambda b, s: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((S, LANE), lambda b, s: (s, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, LANE), lambda b, s: (s, b), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, B), jnp.int32),
+            jax.ShapeDtypeStruct((M, B), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((Nlr, LANE), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=(16 + A) * (M // S) * (S + Ny) * S * B,
+            bytes_accessed=M * B * 16 * A, transcendentals=0,
+        ),
+        interpret=interpret,
+    )(prof, ys)
     return best, bestd
 
 
@@ -764,7 +888,8 @@ class PallasEngine:
         self.interpret = interpret
         # Per-kernel-family miscompile gates; interpret mode is trusted.
         self._checked = (
-            {"uniform", "profile", "strips", "moves"} if interpret else set()
+            {"uniform", "profile", "strips", "strips_profile", "moves"}
+            if interpret else set()
         )
         from ..utils.platform import setup_cache
 
@@ -828,9 +953,10 @@ class PallasEngine:
         y_bn = np.asarray(y_bn, np.uint8)
         prep = self.prepare(x_bm, y_bn, m, n)
         res = self.score_prepared(prep, need_pos=need_pos)
+        uni = self.cfg.is_uniform
         path = (
-            "strips" if prep["strips"]
-            else ("uniform" if self.cfg.is_uniform else "profile")
+            ("strips" if uni else "strips_profile") if prep["strips"]
+            else ("uniform" if uni else "profile")
         )
         if path not in self._checked:
             self._verify_first(x_bm, y_bn, m, n, res, need_pos, path)
@@ -958,15 +1084,12 @@ class PallasEngine:
         N0 = y_bn.shape[1]
         strips = M0 > MAX_M
         if strips:
-            if not self.cfg.is_uniform:
+            # Only the uniform kernel's boundary rows are int16 (the profile
+            # strip kernel carries int32 rows, no score bound).
+            if self.cfg.is_uniform and int(self.cfg.match) * M0 > INT16_BOUND:
                 raise EnvelopeError(
-                    "strip-mode kernel supports uniform scoring only "
-                    "(long protein queries: use the scan engine)"
-                )
-            if int(self.cfg.match) * M0 > INT16_BOUND:
-                raise EnvelopeError(
-                    f"match * read_len = {int(self.cfg.match) * M0} exceeds the "
-                    f"strip kernel's int16 boundary-row bound {INT16_BOUND}; "
+                    f"match * read_len = {int(self.cfg.match) * M0} exceeds "
+                    f"the strip kernel's int16 boundary-row bound {INT16_BOUND}; "
                     "use the scan engine"
                 )
             M = _round_up(max(M0, STRIP_S), STRIP_S)
@@ -1010,11 +1133,21 @@ class PallasEngine:
         args = prep["args"]
         B0 = prep["B0"]
         if prep.get("strips"):
-            best, bestd = _call_strips(
-                *args,
-                match=int(self.cfg.match), mismatch=int(self.cfg.mismatch),
-                gap=int(self.cfg.gap_penalty), interpret=self.interpret,
-            )
+            if self.cfg.is_uniform:
+                best, bestd = _call_strips(
+                    *args,
+                    match=int(self.cfg.match), mismatch=int(self.cfg.mismatch),
+                    gap=int(self.cfg.gap_penalty), interpret=self.interpret,
+                )
+            else:
+                S = np.asarray(self.cfg.matrix).astype(np.int32)
+                best, bestd = _call_strips_profile(
+                    *args,
+                    alphabet=tuple(self.cfg.alphabet.encode("ascii")),
+                    worst=int(S.min()), best_sub=int(S.max()),
+                    gap=int(self.cfg.gap_penalty),
+                    interpret=self.interpret,
+                )
             score, i, j = _reduce_best_strips(best, bestd, None, None)
             return {"score": score[:B0], "i": i[:B0], "j": j[:B0]}
         if self.cfg.is_uniform:

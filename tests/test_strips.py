@@ -101,6 +101,30 @@ def test_strip_traceback_multi_strip_walk(rng):
     assert got.consensus_y == want.consensus_y
 
 
+def test_strips_substitution_matrix(rng):
+    """Long protein queries (> MAX_M residues) with BLOSUM scoring stay on
+    the Pallas strip path (VERDICT: the UNIPROT capability for titin-class
+    queries) and must match the scan engine exactly."""
+    from parallel_genomeseq_tpu.ops.substitution import blosum_config
+
+    cfg = blosum_config("blosum50", gap_penalty=12.0)
+    alpha = np.frombuffer(cfg.alphabet.encode(), np.uint8)
+    B, m = 3, MAX_M + 256  # 2304 aa query
+    n = np.array([500, 340, 420])
+    N = int(n.max())
+    xs = rng.choice(alpha, size=(B, m)).astype(np.uint8)
+    ys = np.full((B, N), 2, np.uint8)
+    for b in range(B):
+        ys[b, : n[b]] = rng.choice(alpha, size=n[b])
+    ys[0, 100:400] = xs[0, 1000:1300]  # planted high-identity region
+    mm = np.full(B, m)
+    got = PallasEngine(cfg).score_batch(xs, ys, mm, n)
+    want = ScanEngine(cfg).score_batch(xs, ys, mm, n)
+    for k in ("score", "i", "j"):
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]))
+    assert int(np.asarray(got["score"])[0]) > 1000  # planted region found
+
+
 def test_strips_rejects_unsupported():
     m = MAX_M + 8
     xs = np.full((1, m), 65, np.uint8)
