@@ -41,12 +41,36 @@ def _nw_lastrow(xb: np.ndarray, yb: np.ndarray, tab, g: float) -> np.ndarray:
     return prev
 
 
-def hirschberg_align(x, y, cfg: ScoringConfig = ScoringConfig()) -> AlignResult:
+# Subproblems with at least this many DP cells run their row sweeps on the
+# device (one 2-lane batched last-row scan for the forward+backward halves);
+# smaller ones stay on the vectorized host path where dispatch overhead
+# would dominate. The top few recursion levels hold ~all the work, so this
+# puts the O(mn) compute on the accelerator while the O(log) tail stays host.
+DEVICE_CELLS = 1 << 21
+
+
+def hirschberg_align(x, y, cfg: ScoringConfig = ScoringConfig(),
+                     device_cells: int = DEVICE_CELLS) -> AlignResult:
     """Linear-space global alignment; same score and alignment quality as
-    the quadratic-space NW oracle."""
+    the quadratic-space NW oracle. Long sequences' row sweeps run on device
+    (ops/global_dp.nw_lastrow_batch); set device_cells=0 to force the device
+    path, or a huge value to force host numpy."""
+    from ..ops.global_dp import nw_lastrow_batch
+
     xb, yb = _as_bytes(x), _as_bytes(y)
     tab = cfg.byte_table().astype(np.float64)
     g = float(cfg.gap_penalty)
+
+    def lastrows(xs: np.ndarray, ys: np.ndarray, mid: int):
+        if len(xs) * len(ys) >= max(device_cells, 1):
+            fwd, bwd = nw_lastrow_batch(
+                [xs[:mid], xs[mid:][::-1]], [ys, ys[::-1]], cfg
+            )
+            return np.asarray(fwd, np.float64), np.asarray(bwd, np.float64)[::-1]
+        return (
+            _nw_lastrow(xs[:mid], ys, tab, g),
+            _nw_lastrow(xs[mid:][::-1], ys[::-1], tab, g)[::-1],
+        )
 
     def rec(xs: np.ndarray, ys: np.ndarray) -> Tuple[str, str]:
         if len(xs) == 0:
@@ -58,15 +82,19 @@ def hirschberg_align(x, y, cfg: ScoringConfig = ScoringConfig()) -> AlignResult:
             # oracle consensus is reversed (reference convention); restore
             return r.consensus_x[::-1], r.consensus_y[::-1]
         mid = len(xs) // 2
-        fwd = _nw_lastrow(xs[:mid], ys, tab, g)
-        bwd = _nw_lastrow(xs[mid:][::-1], ys[::-1], tab, g)[::-1]
+        fwd, bwd = lastrows(xs, ys, mid)
         k = int(np.argmax(fwd + bwd))
         lx, ly = rec(xs[:mid], ys[:k])
         rx, ry = rec(xs[mid:], ys[k:])
         return lx + rx, ly + ry
 
     cx, cy = rec(xb, yb)
-    score = float(_nw_lastrow(xb, yb, tab, g)[-1])
+    if len(xb) * len(yb) >= max(device_cells, 1):
+        from ..ops.global_dp import nw_score_batch
+
+        score = float(nw_score_batch([xb], [yb], cfg)[0])
+    else:
+        score = float(_nw_lastrow(xb, yb, tab, g)[-1])
     # Store reversed, matching the reference's push_back-order convention.
     return AlignResult(
         score=score, pos=1, consensus_x=cx[::-1], consensus_y=cy[::-1],

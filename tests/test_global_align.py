@@ -43,6 +43,45 @@ def test_hirschberg_matches_nw_score(rng):
         assert got.consensus_y[::-1].replace("-", "") == y
 
 
+def test_nw_lastrow_device_matches_oracle(rng):
+    """Device NW last-row scan (lax.scan + cummax gap chain) vs the dense
+    numpy NW matrix, ragged batch, uniform and BLOSUM scoring."""
+    from parallel_genomeseq_tpu.ops.global_dp import nw_lastrow_batch, nw_score_batch
+    from parallel_genomeseq_tpu.ops.substitution import blosum_config
+
+    for cfg, alpha in (
+        (ScoringConfig(), list("ACGT")),
+        (blosum_config("blosum62", gap_penalty=4.0), list("ARNDCQEGHILKMFPSTWYV")),
+    ):
+        xs = ["".join(rng.choice(alpha, int(rng.integers(3, 60)))) for _ in range(5)]
+        ys = ["".join(rng.choice(alpha, int(rng.integers(3, 80)))) for _ in range(5)]
+        rows = nw_lastrow_batch(xs, ys, cfg)
+        scores = nw_score_batch(xs, ys, cfg)
+        for k in range(5):
+            H = oracle.nw_matrix(xs[k], ys[k], cfg)
+            np.testing.assert_allclose(rows[k], H[-1], err_msg=str(k))
+            assert scores[k] == H[-1, -1]
+
+
+def test_hirschberg_device_path_matches_host(rng):
+    """Forcing every row sweep onto the device must reproduce the host
+    recursion exactly (score and emitted alignment)."""
+    from parallel_genomeseq_tpu.models.hirschberg import hirschberg_align
+
+    x = random_dna(rng, 700)
+    y = list(x)
+    for _ in range(25):
+        y[int(rng.integers(0, len(y)))] = rng.choice(list("ACGT"))
+    y = "".join(y)
+    cfg = ScoringConfig()
+    host = hirschberg_align(x, y, cfg, device_cells=1 << 60)
+    dev = hirschberg_align(x, y, cfg, device_cells=0)
+    assert dev.score == host.score
+    assert alignment_score(dev.consensus_x[::-1], dev.consensus_y[::-1], cfg) == dev.score
+    assert dev.consensus_x[::-1].replace("-", "") == x
+    assert dev.consensus_y[::-1].replace("-", "") == y
+
+
 def test_hirschberg_linear_space_long(rng):
     # Long enough that a dense matrix would be ~100M cells.
     x = random_dna(rng, 3000)
