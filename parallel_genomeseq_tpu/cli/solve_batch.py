@@ -53,7 +53,10 @@ def main(argv=None):
     rows = read_ground_truth(args.reads)
     reads = [r["SEQ"] for r in rows[: args.n_reads]]
     cfg = common.scoring_from_args(args)
-    aligner = BatchSWAligner(cfg, score_engine=args.engine)
+    # detail_timing: sync between sweep and walk so the CSV's two timing
+    # levels are independently measured (the default fused path trades that
+    # split for fewer host round trips).
+    aligner = BatchSWAligner(cfg, score_engine=args.engine, detail_timing=True)
 
     # Warm-up (compile) on the first batch shape.
     aligner.align_batch(reads[: min(len(reads), args.batch_size)], [ref], traceback=args.traceback)

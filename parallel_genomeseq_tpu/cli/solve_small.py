@@ -59,25 +59,25 @@ def main(argv=None):
 
         cfg = dataclasses.replace(cfg, semantics=Semantics.SAT_UINT8)
         aligner = BatchSWAligner(cfg, tie="skewed")
-        align = lambda batch: aligner.align_batch(batch, [ref])
+        stream = lambda batches: aligner.align_stream(batches, [ref])
     elif args.npiece > 1:
         aligner = ChunkedAligner(cfg=cfg, chunk=common.chunk_from_args(args))
-        align = lambda batch: aligner.align_batch(batch, ref)
+        stream = lambda batches: aligner.align_stream(batches, ref)
     else:
         aligner = BatchSWAligner(cfg)
-        align = lambda batch: aligner.align_batch(batch, [ref])
+        stream = lambda batches: aligner.align_stream(batches, [ref])
 
+    # Batches are pipelined: align_stream keeps a few batches dispatched
+    # ahead of the oldest blocking fetch, hiding the device round trips.
     results = []
-    cells = 0
-    t_total = 0.0
-    for bk, batch in enumerate(common.batched(reads, args.batch_size)):
-        t0 = time.perf_counter()
-        results.extend(align(batch))
-        t_total += time.perf_counter() - t0
-        cells += sum(len(r) for r in batch) * len(ref)
+    cells = sum(len(r) for r in reads) * len(ref)
+    t0 = time.perf_counter()
+    for bk, batch_results in enumerate(stream(common.batched(reads, args.batch_size))):
+        results.extend(batch_results)
         done = len(results)
         if bk == 0 or done % (args.batch_size * 4) == 0 or done == len(reads):
             print(f"progress: {done}/{len(reads)}")
+    t_total = time.perf_counter() - t0
 
     import os
 

@@ -121,8 +121,34 @@ def main(argv=None):
         os.makedirs(os.path.dirname(ckpt_path) or ".", exist_ok=True)
         ckpt_f = open(ckpt_path, "a", newline="")
 
+    # Pipelined scoring: up to DEPTH batches stay dispatched ahead of the
+    # oldest blocking fetch, so device compute overlaps the host round trips
+    # (and the checkpoint writes) of earlier batches.
+    import jax
+    from collections import deque
+
+    DEPTH = 3
     cells = 0
-    t_total = 0.0
+    done_cnt = 0
+    pend = deque()
+    t_start = time.perf_counter()
+
+    def collect_one():
+        nonlocal done_cnt
+        idxs, arrays = pend.popleft()
+        score, jj = jax.device_get(arrays)
+        for bi, k in enumerate(idxs):
+            results[k] = (int(score[bi]), int(jj[bi]))
+        if ckpt_f is not None:
+            w = csv.writer(ckpt_f)
+            for k in idxs:
+                w.writerow([entries[k][0], results[k][0], results[k][1]])
+            ckpt_f.flush()
+        first = done_cnt == 0
+        done_cnt += len(idxs)
+        if first or done_cnt % (B * 8) == 0 or done_cnt == len(order):
+            print(f"progress: {done_cnt}/{len(order)}")
+
     for s in range(0, len(order), B):
         idxs = order[s : s + B]
         seqs = [to_bytes(entries[k][1]) for k in idxs]
@@ -131,22 +157,14 @@ def main(argv=None):
         ys = batch_pad(seqs, N, Y_PAD)
         xs = np.broadcast_to(qb[None, :], (len(idxs), len(qb))).copy()
         m = np.full(len(idxs), len(qb), np.int32)
-        t0 = time.perf_counter()
         res = engine.score_batch(xs, ys, m, n)
-        score = np.asarray(res["score"])
-        jj = np.asarray(res["j"])
-        t_total += time.perf_counter() - t0
+        pend.append((idxs, (res["score"], res["j"])))
         cells += len(qb) * int(n.sum())
-        for bi, k in enumerate(idxs):
-            results[k] = (int(score[bi]), int(jj[bi]))
-        if ckpt_f is not None:
-            w = csv.writer(ckpt_f)
-            for k in idxs:
-                w.writerow([entries[k][0], results[k][0], results[k][1]])
-            ckpt_f.flush()
-        done = min(s + B, len(order))
-        if s == 0 or done % (B * 8) == 0 or done == len(order):
-            print(f"progress: {done}/{len(order)}")
+        if len(pend) > DEPTH:
+            collect_one()
+    while pend:
+        collect_one()
+    t_total = time.perf_counter() - t_start if order else 0.0
 
     if ckpt_f is not None:
         ckpt_f.close()

@@ -71,10 +71,20 @@ class BatchSWAligner:
         pad_n: int = 128,
         score_engine: str = "auto",
         tie: str = "colmajor",
+        detail_timing: bool = False,
     ):
+        """``detail_timing=False`` (default) runs the fused fast path: the
+        score sweep and the traceback walk dispatch as one async device
+        chain and ALL outputs come back in a single batched fetch — on a
+        high-RTT link (this rig's tunnel is ~28 ms per blocking transfer)
+        that is the difference between 1 and ~7 round trips per batch.
+        ``detail_timing=True`` syncs between the phases so
+        ``Timings.sweep_us`` / ``walk_us`` are independently measured
+        (solve_batch's timing CSV uses this)."""
         self.cfg = cfg
         self.pad_m = pad_m
         self.pad_n = pad_n
+        self.detail_timing = detail_timing
         self.engine = ScanEngine(cfg, tie=tie)
         self.scorer = (
             self.engine if tie != "colmajor" else make_score_engine(cfg, score_engine)
@@ -88,6 +98,31 @@ class BatchSWAligner:
     ) -> List[AlignResult]:
         """Align reads[k] against refs[k] (pass a length-1 refs list or the
         same string repeated to share one reference)."""
+        return self.collect(self.submit_batch(reads, refs, traceback))
+
+    def align_stream(self, batches, refs, traceback: bool = True, depth: int = 4):
+        """Pipelined alignment over an iterable of read batches: up to
+        ``depth`` batches are dispatched ahead of the oldest un-fetched one,
+        so device compute and host->device staging of batch k+1..k+depth
+        overlap the blocking result fetch of batch k (~28 ms per round trip
+        on this rig's tunnel). Yields one List[AlignResult] per input batch,
+        in order. ``depth`` bounds device memory: each in-flight traceback
+        batch holds its (D, M, B) uint8 move tensor until its walk runs."""
+        from collections import deque
+
+        q = deque()
+        for batch in batches:
+            q.append(self.submit_batch(batch, refs, traceback))
+            if len(q) > depth:
+                yield self.collect(q.popleft())
+        while q:
+            yield self.collect(q.popleft())
+
+    def submit_batch(self, reads, refs, traceback: bool = True) -> "_PendingBatch":
+        """Dispatch one batch without blocking on its results (fast path);
+        pair with ``collect``. Detail-timing mode and the strip-length
+        engine are internally synchronous, so their pendings come back
+        already materialized."""
         if len(refs) == 1 and len(reads) > 1:
             refs = list(refs) * len(reads)
         if len(reads) != len(refs):
@@ -102,7 +137,6 @@ class BatchSWAligner:
         ys = batch_pad(yb, N, Y_PAD)
 
         t0 = time.perf_counter()
-        pallas_moves = False
         strip_res = None
         # Walk-length bound: <= M diagonal/north moves plus at most
         # score/gap west moves (score <= match * M), capped by the
@@ -130,7 +164,6 @@ class BatchSWAligner:
                 ys_w[: len(yb)] = ys
                 res = resp
                 xs, ys, M = xs_w, ys_w, Mp  # walk over the padded geometry
-                pallas_moves = True
             elif isinstance(self.scorer, PallasEngine) and self.cfg.is_uniform:
                 # Strip-length reads: checkpointed strip recompute — the
                 # scan emit_moves tensor would be O(D*M*B) (~40 GB at the
@@ -146,48 +179,109 @@ class BatchSWAligner:
                 res = self.engine.score_batch(xs, ys, m, n, emit_moves=True)
         else:
             res = self.scorer.score_batch(xs, ys, m, n)
-        # Force the score sweep's results so the two timing levels are
-        # independently meaningful (JAX dispatch is async).
-        score = np.asarray(res["score"])
-        ii = np.asarray(res["i"])
-        jj = np.asarray(res["j"])
-        sweep_us = (time.perf_counter() - t0) * 1e6
-        walk_us = 0.0
-        if traceback:
-            t1 = time.perf_counter()
-            if strip_res is not None:
-                # Walk already done level-by-level inside the engine
-                # (sweep_us covers it); only the string decode remains.
-                pos = np.asarray(strip_res["pos"])
-                consensus = decode_consensus(
-                    strip_res["cx"], strip_res["cy"], strip_res["steps"]
-                )
-            else:
-                pos, cx, cy, steps = walk_moves(
-                    res["moves"], np.ascontiguousarray(xs.T), ys,
-                    res["i"], res["j"], max_steps=max_steps,
-                )
-                pos = np.asarray(pos)
-                consensus = decode_consensus(cx, cy, steps)
-            walk_us = (time.perf_counter() - t1) * 1e6
-
-        out = []
-        t = Timings(sweep_us=sweep_us, walk_us=walk_us)
-        for k in range(len(reads)):
+        detail = self.detail_timing or strip_res is not None
+        if detail:
+            # Force the score sweep's results so the two timing levels are
+            # independently meaningful (JAX dispatch is async). The strip
+            # engine walks level-by-level internally (already synced), so
+            # the split costs nothing extra there.
+            score = np.asarray(res["score"])
+            ii = np.asarray(res["i"])
+            jj = np.asarray(res["j"])
+            sweep_us = (time.perf_counter() - t0) * 1e6
+            walk_us = 0.0
+            consensus = pos = None
             if traceback:
-                cxk, cyk = consensus[k]
-                pk = int(pos[k])
-            else:
-                cxk = cyk = ""
-                pk = 0
-            out.append(
-                AlignResult(
-                    score=float(score[k]), pos=pk, consensus_x=cxk,
-                    consensus_y=cyk, max_i=int(ii[k]), max_j=int(jj[k]),
-                    timings=t,
-                )
+                t1 = time.perf_counter()
+                if strip_res is not None:
+                    # Walk already done level-by-level inside the engine
+                    # (sweep_us covers it); only the string decode remains.
+                    pos = np.asarray(strip_res["pos"])
+                    consensus = decode_consensus(
+                        strip_res["cx"], strip_res["cy"], strip_res["steps"]
+                    )
+                else:
+                    pos, cx, cy, steps = walk_moves(
+                        res["moves"], np.ascontiguousarray(xs.T), ys,
+                        res["i"], res["j"], max_steps=max_steps,
+                    )
+                    pos = np.asarray(pos)
+                    consensus = decode_consensus(cx, cy, steps)
+                walk_us = (time.perf_counter() - t1) * 1e6
+            results = _assemble(
+                len(reads), traceback, score, ii, jj, pos, consensus,
+                Timings(sweep_us=sweep_us, walk_us=walk_us),
             )
-        return out
+            return _PendingBatch(len(reads), traceback, t0, results=results)
+
+        if traceback:
+            # Chain the walk onto the (still in-flight) sweep outputs; no
+            # host sync until collect().
+            pos, cx, cy, steps = walk_moves(
+                res["moves"], np.ascontiguousarray(xs.T), ys,
+                res["i"], res["j"], max_steps=max_steps,
+            )
+            arrays = (res["score"], res["i"], res["j"], pos, cx, cy, steps)
+        else:
+            arrays = (res["score"], res["i"], res["j"])
+        return _PendingBatch(len(reads), traceback, t0, arrays=arrays)
+
+    def collect(self, pending: "_PendingBatch") -> List[AlignResult]:
+        """Block on a pending batch's results. One batched fetch for the
+        whole pipeline (device_get starts every copy async before blocking
+        on any), then host string assembly."""
+        if pending.results is not None:
+            return pending.results
+        import jax
+
+        fetched = jax.device_get(pending.arrays)
+        sweep_us = (time.perf_counter() - pending.t0) * 1e6
+        if pending.traceback:
+            score, ii, jj, pos, cx, cy, steps = fetched
+            t1 = time.perf_counter()
+            consensus = decode_consensus(cx, cy, steps)
+            walk_us = (time.perf_counter() - t1) * 1e6
+        else:
+            score, ii, jj = fetched
+            pos = consensus = None
+            walk_us = 0.0
+        return _assemble(
+            pending.nreads, pending.traceback, score, ii, jj, pos, consensus,
+            Timings(sweep_us=sweep_us, walk_us=walk_us),
+        )
+
+
+class _PendingBatch:
+    """An in-flight batch: dispatched device arrays awaiting one fetch, or
+    (for the synchronous detail/strip paths) already-materialized results."""
+
+    __slots__ = ("nreads", "traceback", "t0", "arrays", "results")
+
+    def __init__(self, nreads, traceback, t0, arrays=None, results=None):
+        self.nreads = nreads
+        self.traceback = traceback
+        self.t0 = t0
+        self.arrays = arrays
+        self.results = results
+
+
+def _assemble(nreads, traceback, score, ii, jj, pos, consensus, t: Timings):
+    out = []
+    for k in range(nreads):
+        if traceback:
+            cxk, cyk = consensus[k]
+            pk = int(pos[k])
+        else:
+            cxk = cyk = ""
+            pk = 0
+        out.append(
+            AlignResult(
+                score=float(score[k]), pos=pk, consensus_x=cxk,
+                consensus_y=cyk, max_i=int(ii[k]), max_j=int(jj[k]),
+                timings=t,
+            )
+        )
+    return out
 
 
 class SWAligner:

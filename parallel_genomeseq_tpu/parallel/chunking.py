@@ -95,6 +95,36 @@ class ChunkedAligner:
     def align_batch(
         self, reads: Sequence[str], ref: str, traceback: bool = True
     ) -> List[AlignResult]:
+        return self._collect_winner(
+            self._submit_winner(self._submit_scores(reads, ref, traceback))
+        )
+
+    def align_stream(self, batches, ref: str, traceback: bool = True, depth: int = 2):
+        """Pipelined alignment over an iterable of read batches. Both device
+        stages — the (R x P)-lane chunk-score sweep and the winner traceback
+        re-run — dispatch up to ``depth`` batches ahead of the oldest
+        blocking fetch, so the tunnel round trips of stage A(k) overlap the
+        compute of A(k+1..) and B(k-1..). Yields List[AlignResult] per input
+        batch, in order."""
+        from collections import deque
+
+        qa, qb = deque(), deque()
+        for batch in batches:
+            qa.append(self._submit_scores(batch, ref, traceback))
+            if len(qa) > depth:
+                qb.append(self._submit_winner(qa.popleft()))
+            if len(qb) > depth:
+                yield self._collect_winner(qb.popleft())
+        while qa:
+            qb.append(self._submit_winner(qa.popleft()))
+            if len(qb) > depth:
+                yield self._collect_winner(qb.popleft())
+        while qb:
+            yield self._collect_winner(qb.popleft())
+
+    def _submit_scores(self, reads: Sequence[str], ref: str, traceback: bool):
+        """Stage A dispatch: (R reads x P pieces) score-only wavefront.
+        Returns a pending dict; the score fetch blocks in _submit_winner."""
         P = self.chunk.npiece
         R = len(reads)
         ref_b = to_bytes(ref)
@@ -139,31 +169,51 @@ class ChunkedAligner:
                 self._scan_fallback = ScanEngine(self.cfg)
             engine = self._scan_fallback
             res = engine.score_batch(xs, ys, m, n)
-        scores = np.asarray(res["score"]).reshape(R, P)
+        return {
+            "reads": list(reads), "ref": ref, "all_ranges": all_ranges,
+            "score": res["score"], "R": R, "traceback": traceback, "t0": t0,
+        }
+
+    def _submit_winner(self, pa):
+        """Stage A fetch + stage B dispatch: block on the chunk scores,
+        argmax-merge per read, dispatch the winner traceback re-run."""
+        R = pa["R"]
+        P = self.chunk.npiece
+        all_ranges = pa["all_ranges"]
+        scores = np.asarray(pa["score"]).reshape(R, P)
         # First piece wins ties: argmax returns the first maximum.
         winner = np.argmax(scores, axis=1)
-        sweep_us = (time.perf_counter() - t0) * 1e6
+        sweep_us = (time.perf_counter() - pa["t0"]) * 1e6
 
         lefts = np.array(
             [all_ranges[r][winner[r]][0] for r in range(R)], np.int64
         )
-        if not traceback:
+        if not pa["traceback"]:
             from ..utils.result import Timings
 
             t = Timings(sweep_us=sweep_us)
-            return [
+            results = [
                 AlignResult(
                     score=float(scores[r, winner[r]]), pos=0, timings=t
                 )
                 for r in range(R)
             ]
+            return {"results": results}
 
         # Winner re-run with traceback, windows offset back to global coords.
+        ref = pa["ref"]
         win_refs = [
             ref[all_ranges[r][winner[r]][0] : all_ranges[r][winner[r]][1]]
             for r in range(R)
         ]
-        results = self._winner_aligner.align_batch(list(reads), win_refs)
+        pending = self._winner_aligner.submit_batch(pa["reads"], win_refs)
+        return {"pending": pending, "lefts": lefts}
+
+    def _collect_winner(self, pb) -> List[AlignResult]:
+        if "results" in pb:
+            return pb["results"]
+        results = self._winner_aligner.collect(pb["pending"])
+        lefts = pb["lefts"]
         out = []
         for r, resr in enumerate(results):
             out.append(

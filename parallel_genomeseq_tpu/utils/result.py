@@ -18,9 +18,13 @@ import dataclasses
 
 @dataclasses.dataclass(frozen=True)
 class Timings:
-    """Microsecond timings: [0] score sweep (host prep + device wavefront,
-    synced), [1] traceback walk + consensus decode (0 for score-only calls).
-    Each level is measured independently — neither is a copy of the other."""
+    """Microsecond timings, two independently measured levels (neither is a
+    copy of the other). With ``BatchSWAligner(detail_timing=True)``:
+    [0] score sweep (host prep + device wavefront, synced), [1] traceback
+    walk + consensus decode. On the default fused fast path the phases share
+    one async device chain and one batched fetch, so the split is
+    [0] device pipeline (sweep + walk, synced at the single fetch),
+    [1] host consensus decode. 0 for levels a score-only call skips."""
 
     sweep_us: float = 0.0
     walk_us: float = 0.0

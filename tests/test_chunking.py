@@ -84,3 +84,39 @@ def test_chunked_custom_scoring_not_dropped(rng):
     want = oracle.align(read, ref, cfg)
     assert got.score == want.score == 300.0
     assert got.pos == want.pos
+
+
+def test_chunked_stream_matches_batch(rng):
+    """align_stream pipelining must be a pure reordering of device work:
+    identical results to per-batch align_batch calls, in order."""
+    ref = random_dna(rng, 1800)
+    reads = []
+    for _ in range(20):
+        s = int(rng.integers(0, 1700))
+        read = list(ref[s : s + 70])
+        p = int(rng.integers(0, len(read)))
+        read[p] = rng.choice(list("ACGT"))
+        reads.append("".join(read))
+    ca = ChunkedAligner(chunk=ChunkConfig(npiece=4, overlap_ratio=2.0))
+    batches = [reads[k : k + 6] for k in range(0, len(reads), 6)]
+    want = [r for b in batches for r in ca.align_batch(b, ref)]
+    got = [r for out in ca.align_stream(batches, ref, depth=2) for r in out]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g.score == w.score
+        assert g.pos == w.pos
+        assert g.consensus_x == w.consensus_x
+        assert g.consensus_y == w.consensus_y
+
+
+def test_chunked_stream_score_only(rng):
+    ref = random_dna(rng, 1500)
+    reads = [ref[100:180], ref[900:980], ref[1200:1280], ref[40:120]]
+    ca = ChunkedAligner(chunk=ChunkConfig(npiece=4, overlap_ratio=2.0))
+    batches = [reads[:2], reads[2:]]
+    got = [
+        r
+        for out in ca.align_stream(batches, ref, traceback=False, depth=3)
+        for r in out
+    ]
+    assert [r.score for r in got] == [240.0] * 4

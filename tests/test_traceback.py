@@ -83,3 +83,27 @@ def test_no_alignment_lane():
     got = ba.align_batch(["AAAA", "GGGG"], ["GGGG", "GGGG"])
     assert got[0].score == 0 and got[0].pos == 0 and got[0].consensus_x == ""
     assert got[1].score == 4
+
+
+def test_batch_stream_matches_batch(rng):
+    """BatchSWAligner.align_stream == per-batch align_batch, in order."""
+    from conftest import random_dna
+    from parallel_genomeseq_tpu.models.swaligner import BatchSWAligner
+
+    ref = random_dna(rng, 600)
+    reads = []
+    for _ in range(12):
+        s = int(rng.integers(0, 520))
+        read = list(ref[s : s + 60])
+        p = int(rng.integers(0, len(read)))
+        read[p] = rng.choice(list("ACGT"))
+        reads.append("".join(read))
+    al = BatchSWAligner()
+    batches = [reads[k : k + 4] for k in range(0, len(reads), 4)]
+    want = [r for b in batches for r in al.align_batch(b, [ref])]
+    got = [r for out in al.align_stream(batches, [ref], depth=2) for r in out]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert (g.score, g.pos, g.consensus_x, g.consensus_y) == (
+            w.score, w.pos, w.consensus_x, w.consensus_y,
+        )
