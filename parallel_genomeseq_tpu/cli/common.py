@@ -22,7 +22,12 @@ REPO_DATA = Path(__file__).resolve().parents[2] / "data"
 def add_scoring_flags(p: argparse.ArgumentParser):
     p.add_argument("--match", type=float, default=3.0, help="match score")
     p.add_argument("--mismatch", type=float, default=-3.0, help="mismatch score")
-    p.add_argument("--gap-penalty", type=float, default=2.0, help="linear gap penalty")
+    p.add_argument("--gap-penalty", type=float, default=2.0, help="per-residue gap penalty")
+    p.add_argument(
+        "--gap-open", type=float, default=0.0,
+        help="affine gap-opening surcharge (Gotoh): a gap of length L costs "
+        "gap_open + L * gap_penalty; 0 = the reference's linear model",
+    )
     p.add_argument(
         "--semantics", choices=[s.value for s in Semantics],
         default=Semantics.EXACT_INT32.value,
@@ -52,6 +57,7 @@ def add_platform_flags(p: argparse.ArgumentParser):
 def scoring_from_args(args) -> ScoringConfig:
     return ScoringConfig(
         match=args.match, mismatch=args.mismatch, gap_penalty=args.gap_penalty,
+        gap_open=getattr(args, "gap_open", 0.0),
         semantics=Semantics(args.semantics),
     )
 

@@ -19,7 +19,7 @@ from typing import List, Sequence
 import numpy as np
 
 from ..ops.scan_dp import ScanEngine
-from ..ops.traceback import decode_consensus, walk_moves
+from ..ops.traceback import decode_consensus, walk_moves, walk_moves_affine
 from ..utils.config import ScoringConfig
 from ..utils.encoding import X_PAD, Y_PAD, batch_pad, to_bytes
 from ..utils.result import AlignResult, Timings
@@ -41,6 +41,7 @@ def make_score_engine(cfg: ScoringConfig, name: str = "auto"):
             jax.default_backend() == "tpu"
             and cfg.semantics != Semantics.SAT_UINT8
             and cfg.is_integral
+            and not cfg.is_affine  # affine (Gotoh) runs on the scan engine
         )
         name = "pallas" if pallas_ok else "scan"
         from ..utils.logging import vlog
@@ -201,7 +202,8 @@ class BatchSWAligner:
                         strip_res["cx"], strip_res["cy"], strip_res["steps"]
                     )
                 else:
-                    pos, cx, cy, steps = walk_moves(
+                    walk = walk_moves_affine if self.cfg.is_affine else walk_moves
+                    pos, cx, cy, steps = walk(
                         res["moves"], np.ascontiguousarray(xs.T), ys,
                         res["i"], res["j"], max_steps=max_steps,
                     )
@@ -217,7 +219,8 @@ class BatchSWAligner:
         if traceback:
             # Chain the walk onto the (still in-flight) sweep outputs; no
             # host sync until collect().
-            pos, cx, cy, steps = walk_moves(
+            walk = walk_moves_affine if self.cfg.is_affine else walk_moves
+            pos, cx, cy, steps = walk(
                 res["moves"], np.ascontiguousarray(xs.T), ys,
                 res["i"], res["j"], max_steps=max_steps,
             )

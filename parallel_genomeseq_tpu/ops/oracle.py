@@ -205,8 +205,101 @@ def nw_align(x, y, cfg: ScoringConfig = ScoringConfig()) -> AlignResult:
     )
 
 
+def sw_affine_matrices(x, y, cfg: ScoringConfig):
+    """Gotoh affine-gap local DP: returns (H, E, F), each (m+1, n+1).
+
+    A gap of length L costs ``gap_open + L * gap_penalty`` (see
+    ScoringConfig.is_affine). E tracks gap-in-read (west) runs, F tracks
+    gap-in-reference (north) runs:
+
+        E[i,j] = max(H[i,j-1] - open, E[i,j-1]) - extend
+        F[i,j] = max(H[i-1,j] - open, F[i-1,j]) - extend
+        H[i,j] = max(0, H[i-1,j-1] + s(x_i, y_j), E[i,j], F[i,j])
+
+    With open == 0 this is exactly the linear recurrence (H >= E, F always,
+    so the running max collapses). Extension beyond the reference, which has
+    no affine gaps.
+    """
+    xb, yb = _as_bytes(x), _as_bytes(y)
+    m, n = len(xb), len(yb)
+    tab = cfg.byte_table().astype(np.float64)
+    open_ = float(cfg.gap_open)
+    ext = float(cfg.gap_penalty)
+    NEG = -1e18
+    H = np.zeros((m + 1, n + 1), np.float64)
+    E = np.full((m + 1, n + 1), NEG, np.float64)
+    F = np.full((m + 1, n + 1), NEG, np.float64)
+    for j in range(1, n + 1):
+        for i in range(1, m + 1):
+            E[i, j] = max(H[i, j - 1] - open_, E[i, j - 1]) - ext
+            F[i, j] = max(H[i - 1, j] - open_, F[i - 1, j]) - ext
+            s = tab[xb[i - 1], yb[j - 1]]
+            H[i, j] = max(0.0, H[i - 1, j - 1] + s, E[i, j], F[i, j])
+    return H, E, F
+
+
+def affine_traceback(H, E, F, x, y, i: int, j: int, cfg: ScoringConfig):
+    """State-machine traceback from 1-based (i, j): H state chooses
+    NW / enter-E / enter-F by recomputing which term achieved H; E/F states
+    emit gap columns and either keep extending or return to H. Stops when
+    the H state reaches a zero cell (the local-alignment start). Returns
+    (pos, consensus_x, consensus_y), reversed strings, '-' gaps; pos is the
+    1-based reference index of the first aligned column."""
+    xb, yb = _as_bytes(x), _as_bytes(y)
+    tab = cfg.byte_table().astype(np.float64)
+    open_ = float(cfg.gap_open)
+    ext = float(cfg.gap_penalty)
+    cx, cy = [], []
+    state = "H"
+    pos = j
+    while True:
+        if state == "H":
+            if H[i, j] == 0:
+                return pos, "".join(cx), "".join(cy)
+            if H[i, j] == H[i - 1, j - 1] + tab[xb[i - 1], yb[j - 1]]:
+                cx.append(chr(xb[i - 1]))
+                cy.append(chr(yb[j - 1]))
+                pos = j
+                i -= 1
+                j -= 1
+            elif H[i, j] == E[i, j]:
+                state = "E"
+            else:
+                state = "F"
+        elif state == "E":
+            cx.append("-")
+            cy.append(chr(yb[j - 1]))
+            pos = j
+            extend = E[i, j] == E[i, j - 1] - ext
+            j -= 1
+            if not extend:
+                state = "H"
+        else:  # F
+            cx.append(chr(xb[i - 1]))
+            cy.append("-")
+            extend = F[i, j] == F[i - 1, j] - ext
+            i -= 1
+            if not extend:
+                state = "H"
+
+
+def affine_align(x, y, cfg: ScoringConfig) -> AlignResult:
+    """End-to-end affine-gap oracle alignment."""
+    H, E, F = sw_affine_matrices(x, y, cfg)
+    i, j, score = find_max(H)
+    if score <= 0:
+        return AlignResult(score=float(score), pos=0)
+    pos, cx, cy = affine_traceback(H, E, F, x, y, i, j, cfg)
+    return AlignResult(
+        score=float(score), pos=pos, consensus_x=cx, consensus_y=cy,
+        max_i=i, max_j=j, timings=Timings(),
+    )
+
+
 def align(x, y, cfg: ScoringConfig = ScoringConfig()) -> AlignResult:
     """End-to-end oracle alignment of read x against reference y."""
+    if cfg.is_affine:
+        return affine_align(x, y, cfg)
     H = sw_matrix(x, y, cfg)
     i, j, score = find_max(H)
     if score <= 0:

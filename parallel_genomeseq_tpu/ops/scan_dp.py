@@ -201,6 +201,104 @@ def _wavefront(
     return best, bestd, outs
 
 
+# Affine (Gotoh) traceback move encoding — one uint8 per cell:
+#   bits 0-1: which term achieved H (preference NW > E > F on ties):
+#             0 = NW (diagonal), 1 = E (west gap run), 2 = F (north gap
+#             run), 3 = H is zero (local-alignment start boundary)
+#   bit 3:    E extends (E[i,j] came from E[i,j-1], i.e. keep the west run)
+#   bit 4:    F extends (F[i,j] came from F[i-1,j])
+H_NW = np.uint8(0)
+H_E = np.uint8(1)
+H_F = np.uint8(2)
+H_ZERO = np.uint8(3)
+E_EXT_BIT = np.uint8(8)
+F_EXT_BIT = np.uint8(16)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("keep_matrix", "emit_moves")
+)
+def _wavefront_affine(
+    x_mb, yr, m, n, table, gap_open, gap_ext, *, keep_matrix: bool,
+    emit_moves: bool = False,
+):
+    """Affine-gap (Gotoh) anti-diagonal wavefront — extension beyond the
+    reference (which only has linear gaps, src/aligner/smithwaterman.cpp:8).
+
+    Same diagonal-major formulation as _wavefront with two extra carried
+    diagonals: E (west gap runs) and F (north gap runs). A gap of length L
+    costs gap_open + L * gap_ext; gap_open == 0 degenerates exactly to the
+    linear recurrence. Invalid cells hold H = 0 (zero boundary) and
+    E = F = NEG (a gap run cannot cross the boundary).
+    """
+    M, B = x_mb.shape
+    N = yr.shape[0] - 2 * M
+    D = M + N - 1
+    dtype = table.dtype
+    NEG = (
+        jnp.asarray(-(2**30), dtype)
+        if dtype == jnp.int32
+        else jnp.asarray(-1e30, dtype)
+    )
+    zero = jnp.asarray(0, dtype)
+
+    rr = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)
+    rowmask = rr < m[None, :]  # (M, B)
+
+    def step(carry, d):
+        h1, h2, e1, f1, best, bestd = carry
+        ywin = jax.lax.dynamic_slice_in_dim(yr, N + M - 1 - d, M, axis=0)
+        s = table[x_mb, ywin]
+        h1s = _shift_down(h1)  # north  (i-1, j)
+        h2s = _shift_down(h2)  # nw     (i-1, j-1)
+        f1s = _shift_down(f1)  # north F
+        e_open = h1 - gap_open
+        f_open = h1s - gap_open
+        e_d = jnp.maximum(e_open, e1) - gap_ext
+        f_d = jnp.maximum(f_open, f1s) - gap_ext
+        diag = h2s + s
+        hd = jnp.maximum(jnp.maximum(diag, e_d), jnp.maximum(f_d, zero))
+        valid = (rr <= d) & rowmask & (rr >= d + 1 - n[None, :])
+        hd = jnp.where(valid, hd, zero)
+        e_d = jnp.where(valid, e_d, NEG)
+        f_d = jnp.where(valid, f_d, NEG)
+        upd = hd > best  # strict: earliest diagonal (smallest j) wins ties
+        best = jnp.where(upd, hd, best)
+        bestd = jnp.where(upd, d, bestd)
+        out = {}
+        if keep_matrix:
+            out["hstack"] = hd
+            out["estack"] = e_d
+            out["fstack"] = f_d
+        if emit_moves:
+            h_src = jnp.where(
+                hd == zero,
+                H_ZERO,
+                jnp.where(
+                    hd == diag, H_NW, jnp.where(hd == e_d, H_E, H_F)
+                ),
+            ).astype(jnp.uint8)
+            # Extend-on-tie matches the oracle walk, which tests the extend
+            # branch first (oracle.affine_traceback).
+            e_ext = e1 >= e_open
+            f_ext = f1s >= f_open
+            mv = (
+                h_src
+                | jnp.where(e_ext, E_EXT_BIT, np.uint8(0))
+                | jnp.where(f_ext, F_EXT_BIT, np.uint8(0))
+            )
+            out["moves"] = mv
+        return (hd, h1, e_d, f_d, best, bestd), out
+
+    zeros = jnp.zeros((M, B), dtype)
+    negs = jnp.full((M, B), NEG, dtype)
+    init = (zeros, zeros, negs, negs, zeros, jnp.zeros((M, B), jnp.int32))
+    (_, _, _, _, best, bestd), outs = jax.lax.scan(
+        step, init, jnp.arange(D, dtype=jnp.int32)
+    )
+    return best, bestd, outs
+
+
 @jax.jit
 def _reduce_best(best, bestd):
     """(M, B) elementwise bests -> per-lane (score, i, j) with the
@@ -271,6 +369,12 @@ class ScanEngine:
         else:
             self._table = jnp.asarray(cfg.byte_table().astype(self._dtype))
             self._gap = jnp.asarray(cfg.gap_penalty, self._dtype)
+        self._open = jnp.asarray(cfg.gap_open, self._dtype)
+        if cfg.is_affine and tie == "skewed":
+            raise ValueError(
+                "affine gaps are an extension without a reference skewed "
+                "build to mirror; use tie='colmajor'"
+            )
 
     def prepare_refs(self, y_bn: jnp.ndarray, M: int) -> jnp.ndarray:
         """(B, N) padded refs -> (N + 2M, B) reversed-padded ref buffer."""
@@ -294,6 +398,16 @@ class ScanEngine:
         """
         x_mb = jnp.asarray(x_bm, jnp.uint8).T
         yr = self.prepare_refs(jnp.asarray(y_bn, jnp.uint8), x_mb.shape[0])
+        if self.cfg.is_affine:
+            best, bestd, outs = _wavefront_affine(
+                x_mb, yr, jnp.asarray(m, jnp.int32), jnp.asarray(n, jnp.int32),
+                self._table, self._open, self._gap,
+                keep_matrix=keep_matrix, emit_moves=emit_moves,
+            )
+            score, i, j = _reduce_best(best, bestd)
+            out = {"score": score, "i": i, "j": j}
+            out.update(outs)
+            return out
         best, bestd, outs = _wavefront(
             x_mb, yr, jnp.asarray(m, jnp.int32), jnp.asarray(n, jnp.int32),
             self._table, self._gap,

@@ -90,6 +90,81 @@ def walk_moves(moves, x_mb, y_bn, i0, j0, *, max_steps: int):
 
 
 @functools.partial(jax.jit, static_argnames=("max_steps",))
+def walk_moves_affine(moves, x_mb, y_bn, i0, j0, *, max_steps: int):
+    """Affine (Gotoh) traceback walk over the state-machine move codes from
+    scan_dp._wavefront_affine (extension beyond the reference's linear-gap
+    greedy walk). Per-lane state: 0 = H, 1 = in an E (west gap) run, 2 = in
+    an F (north gap) run. Entering a run from H emits its first gap column
+    in the same iteration (the oracle's H->E/H->F transition plus the E/F
+    action at the same cell fused), so every active iteration emits exactly
+    one column and the static-row-write trick of walk_moves still applies.
+    Stops when the H state reads the H_ZERO code (H == 0 local start);
+    pos = 1-based reference index of the last diagonal emission (the first
+    aligned column — affine paths always start and end with NW moves).
+
+    Returns (pos (B,), cx, cy (max_steps, B) uint8, steps (B,) int32).
+    """
+    from .scan_dp import E_EXT_BIT, F_EXT_BIT, H_E, H_F, H_NW, H_ZERO
+
+    M, B = x_mb.shape
+    lanes = jnp.arange(B)
+    cx0 = jnp.zeros((max_steps, B), jnp.uint8)
+    cy0 = jnp.zeros((max_steps, B), jnp.uint8)
+
+    def body(it, st):
+        i, j, pos, state, active, cx, cy, steps = st
+        d = jnp.clip(i + j - 2, 0, moves.shape[0] - 1)
+        r = jnp.clip(i - 1, 0, M - 1)
+        mv = moves[d, r, lanes]
+        hsrc = mv & np.uint8(3)
+        e_ext = (mv & E_EXT_BIT) != 0
+        f_ext = (mv & F_EXT_BIT) != 0
+        in_h = state == 0
+        # Effective op at this cell: H picks its source; E/F runs continue.
+        op = jnp.where(in_h, hsrc.astype(jnp.int32), state)
+        # Stop on the H_ZERO code, and also at the i = 0 / j = 0 boundary:
+        # boundary cells (H = 0 by construction) are not part of the moves
+        # tensor, and the clipped (d, r) gather would otherwise read a
+        # neighboring cell's code after a path consumes the whole read.
+        stop = in_h & ((hsrc == H_ZERO) | (i <= 0) | (j <= 0))
+        nw = active & ~stop & (op == H_NW)
+        go_w = active & ~stop & (op == H_E)
+        go_n = active & ~stop & (op == H_F)
+        xc = x_mb[r, lanes]
+        yc = y_bn[lanes, jnp.clip(j - 1, 0, y_bn.shape[1] - 1)]
+        emit_x = jnp.where(go_w, GAP_BYTE, xc)
+        emit_y = jnp.where(go_n, GAP_BYTE, yc)
+        emitting = active & ~stop
+        cx = cx.at[it].set(jnp.where(emitting, emit_x, jnp.uint8(0)))
+        cy = cy.at[it].set(jnp.where(emitting, emit_y, jnp.uint8(0)))
+        steps = jnp.where(emitting, steps + 1, steps)
+        pos = jnp.where(nw, j, pos)
+        state = jnp.where(
+            nw,
+            0,
+            jnp.where(
+                go_w,
+                jnp.where(e_ext, 1, 0),
+                jnp.where(go_n, jnp.where(f_ext, 2, 0), state),
+            ),
+        )
+        i = i - jnp.where(nw | go_n, 1, 0)
+        j = j - jnp.where(nw | go_w, 1, 0)
+        active = active & ~stop
+        return (i, j, pos, state, active, cx, cy, steps)
+
+    i0 = jnp.asarray(i0, jnp.int32)
+    j0 = jnp.asarray(j0, jnp.int32)
+    active0 = i0 > 0
+    st = (
+        i0, j0, jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
+        active0, cx0, cy0, jnp.zeros((B,), jnp.int32),
+    )
+    _, _, pos, _, _, cx, cy, steps = jax.lax.fori_loop(0, max_steps, body, st)
+    return pos, cx, cy, steps
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps",))
 def walk_strip_level(moves, x_strip, y_bn, base_row, state, *, max_steps: int):
     """Advance the batched greedy walk through ONE row-strip of the DP
     matrix (strip-length-read traceback; see PallasEngine.score_batch_strip_moves).

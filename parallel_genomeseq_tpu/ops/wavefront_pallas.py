@@ -871,6 +871,11 @@ class PallasEngine:
             )
         if not cfg.is_integral:
             raise ValueError("PallasEngine requires integral scoring parameters")
+        if cfg.is_affine:
+            raise ValueError(
+                "PallasEngine has no affine-gap kernel yet; use ScanEngine "
+                "(make_score_engine 'auto' does this)"
+            )
         # Mask-free kernel preconditions (see _make_body): strictly negative
         # mismatch / off-worst scores and gap >= 1 guarantee out-of-range
         # cells decay strictly below any valid maximum.

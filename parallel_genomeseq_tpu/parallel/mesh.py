@@ -88,13 +88,14 @@ def _score_lanes_pallas(x_rm, y_pn, match, mismatch, gap, interpret):
     )
 
 
-def _score_lanes_scan(x_rm, y_pn, m_r, n_p, table, gap):
+def _score_lanes_scan(x_rm, y_pn, m_r, n_p, table, gap, gap_open=None):
     """Score all (local reads x local pieces) lanes with the scan wavefront.
 
     x_rm: (Rl, M) uint8; y_pn: (Pl, N) uint8; m_r: (Rl,); n_p: (Pl,).
+    gap_open is not None selects the affine (Gotoh) recurrence.
     Returns (score, i, j) each (Rl, Pl) int32.
     """
-    from ..ops.scan_dp import _reduce_best, _wavefront
+    from ..ops.scan_dp import _reduce_best, _wavefront, _wavefront_affine
 
     Rl, M = x_rm.shape
     Pl, N = y_pn.shape
@@ -108,10 +109,16 @@ def _score_lanes_scan(x_rm, y_pn, m_r, n_p, table, gap):
     yr = jnp.concatenate(
         [jnp.flip(ypad, axis=1).T, jnp.full((M, B), Y_PAD, jnp.uint8)], axis=0
     )
-    best, bestd, _ = _wavefront(
-        x_mb, yr, m.astype(jnp.int32), n.astype(jnp.int32), table, gap,
-        semantics="int32", keep_matrix=False,
-    )
+    if gap_open is not None:
+        best, bestd, _ = _wavefront_affine(
+            x_mb, yr, m.astype(jnp.int32), n.astype(jnp.int32), table,
+            gap_open, gap, keep_matrix=False,
+        )
+    else:
+        best, bestd, _ = _wavefront(
+            x_mb, yr, m.astype(jnp.int32), n.astype(jnp.int32), table, gap,
+            semantics="int32", keep_matrix=False,
+        )
     score, i, j = _reduce_best(best, bestd)
     return (
         score.reshape(Rl, Pl).astype(jnp.int32),
@@ -156,6 +163,7 @@ class MeshAligner:
                 if (
                     jax.default_backend() == "tpu"
                     and cfg.is_uniform
+                    and not cfg.is_affine
                     and int(cfg.mismatch) < 0
                     and int(cfg.gap_penalty) >= 1
                 )
@@ -181,6 +189,10 @@ class MeshAligner:
                 raise ValueError(
                     "MeshAligner engine='pallas' requires gap_penalty >= 1 (use engine='scan')"
                 )
+            if cfg.is_affine:
+                raise ValueError(
+                    "MeshAligner engine='pallas' has no affine-gap kernel (use engine='scan')"
+                )
         self.engine = engine
         self._fn_cache = {}
         # Per-instance first-result miscompile gate (remote TPU compiles have
@@ -191,6 +203,11 @@ class MeshAligner:
     def _build(self, R, Pp, M, N):
         mesh = self.mesh
         table, gap = self._table, self._gap
+        gap_open = (
+            jnp.asarray(int(self.cfg.gap_open), jnp.int32)
+            if self.cfg.is_affine
+            else None
+        )
         use_pallas = self.engine == "pallas"
         if use_pallas:
             match_i = int(self.cfg.match)
@@ -222,7 +239,7 @@ class MeshAligner:
                     x, y, match_i, mismatch_i, gap_i, interpret
                 )  # (Rl, Pl)
             else:
-                score, i, j = _score_lanes_scan(x, y, m, n, table, gap)
+                score, i, j = _score_lanes_scan(x, y, m, n, table, gap, gap_open)
             # Local argmax over this device's pieces: first piece wins ties.
             key = score * PIECE_SLOTS + (PIECE_SLOTS - 1 - pids[None, :])
             loc = jnp.argmax(key, axis=1)  # (Rl,)

@@ -60,6 +60,7 @@ class ScoringConfig:
     match: float = 3.0
     mismatch: float = -3.0
     gap_penalty: float = 2.0
+    gap_open: float = 0.0
     matrix: Optional[np.ndarray] = None
     alphabet: Optional[str] = None
     semantics: Semantics = Semantics.EXACT_INT32
@@ -73,14 +74,28 @@ class ScoringConfig:
                 raise ValueError(
                     f"matrix shape {m.shape} != ({len(self.alphabet)},) ** 2"
                 )
+        if float(self.gap_open) < 0:
+            raise ValueError("gap_open must be >= 0 (it is a penalty magnitude)")
+        if self.gap_open and self.semantics == Semantics.SAT_UINT8:
+            raise ValueError("affine gaps are not supported in SAT_UINT8 semantics")
 
     @property
     def is_uniform(self) -> bool:
         return self.matrix is None
 
     @property
+    def is_affine(self) -> bool:
+        """Affine (Gotoh) gap model: a gap of length L costs
+        ``gap_open + L * gap_penalty`` (gap_penalty acts as the per-residue
+        extend cost; gap_open is the one-time opening surcharge). gap_open=0
+        degenerates exactly to the reference's linear model — an extension
+        beyond the reference, which has no affine gaps
+        (src/aligner/smithwaterman.cpp:8 takes a single gap_penalty)."""
+        return float(self.gap_open) != 0.0
+
+    @property
     def is_integral(self) -> bool:
-        vals = [self.gap_penalty]
+        vals = [self.gap_penalty, self.gap_open]
         if self.is_uniform:
             vals += [self.match, self.mismatch]
         else:

@@ -1,0 +1,194 @@
+"""Affine-gap (Gotoh) alignment — extension beyond the reference.
+
+The reference only has a linear gap model (src/aligner/smithwaterman.cpp:8
+takes one gap_penalty). Here a gap of length L costs gap_open + L *
+gap_penalty; gap_open=0 degenerates exactly to the linear recurrence, which
+doubles as the differential anchor: every affine path is tested against the
+linear oracle at gap_open=0 and against the affine numpy oracle otherwise.
+"""
+
+import numpy as np
+import pytest
+
+from conftest import random_dna
+from parallel_genomeseq_tpu.models.swaligner import BatchSWAligner
+from parallel_genomeseq_tpu.ops import oracle
+from parallel_genomeseq_tpu.ops.scan_dp import ScanEngine, hstack_to_matrix
+from parallel_genomeseq_tpu.utils.config import ScoringConfig, Semantics
+
+AFF = ScoringConfig(match=3.0, mismatch=-3.0, gap_penalty=1.0, gap_open=4.0)
+
+
+def test_config_affine_flags():
+    assert not ScoringConfig().is_affine
+    assert AFF.is_affine
+    assert AFF.is_integral
+    with pytest.raises(ValueError):
+        ScoringConfig(gap_open=-1.0)
+    with pytest.raises(ValueError):
+        ScoringConfig(gap_open=2.0, semantics=Semantics.SAT_UINT8)
+
+
+def test_oracle_affine_degenerates_to_linear(rng):
+    """gap_open=0 affine == linear oracle, cell for cell."""
+    cfg = ScoringConfig(gap_open=0.0)
+    for _ in range(4):
+        x = random_dna(rng, int(rng.integers(5, 25)))
+        y = random_dna(rng, int(rng.integers(5, 40)))
+        H, _, _ = oracle.sw_affine_matrices(x, y, cfg)
+        np.testing.assert_array_equal(H, oracle.sw_matrix(x, y, cfg).astype(np.float64))
+
+
+def test_oracle_affine_prefers_one_long_gap():
+    """With a high opening cost, one 2-long gap must beat two 1-long gaps.
+    Read = reference with a 2-bp deletion: affine scores
+    match*|read| - open - 2*extend."""
+    ref = "ACGTACGTACGTACGTACGT"
+    read = ref[:8] + ref[10:]  # drop 2 bp
+    res = oracle.align(read, ref, AFF)
+    assert res.score == 3 * len(read) - 4 - 2 * 1
+    # consensus has exactly one 2-column gap run in x
+    assert res.consensus_x.count("-") == 2
+    assert "--" in res.consensus_x
+    assert res.pos == 1
+
+
+def test_oracle_affine_score_vs_bruteforce(rng):
+    """Affine H must equal a brute-force best-local-alignment search on tiny
+    inputs (exhaustive over gap placements via the recurrence's own dual:
+    compare against linear DP with gap cost folded per run length)."""
+    cfg = ScoringConfig(match=2.0, mismatch=-2.0, gap_penalty=1.0, gap_open=3.0)
+    # Hand-checkable: read AATT vs ref AAGGTT. Best: AA + TT around a 2-gap.
+    # score = 4*2 - (3 + 2*1) = 3  (vs ungapped AA..=4? AA match = 4 w/ no
+    # gap -> 4 > 3, so best is plain AA (or TT) = 4).
+    H, E, F = oracle.sw_affine_matrices("AATT", "AAGGTT", cfg)
+    assert H.max() == 4.0
+    # Cheaper opening makes bridging the gap win: 8 - (1 + 2) = 5.
+    cfg2 = ScoringConfig(match=2.0, mismatch=-2.0, gap_penalty=1.0, gap_open=1.0)
+    H2, _, _ = oracle.sw_affine_matrices("AATT", "AAGGTT", cfg2)
+    assert H2.max() == 5.0
+
+
+def test_scan_affine_matches_oracle(rng):
+    """Scan affine wavefront == numpy affine oracle: H stack, score, argmax."""
+    eng = ScanEngine(AFF)
+    for _ in range(3):
+        mlen = int(rng.integers(6, 20))
+        nlen = int(rng.integers(8, 40))
+        x = random_dna(rng, mlen)
+        y = random_dna(rng, nlen)
+        res = eng.score_batch(
+            np.frombuffer(x.encode(), np.uint8)[None, :],
+            np.frombuffer(y.encode(), np.uint8)[None, :],
+            np.array([mlen]), np.array([nlen]), keep_matrix=True,
+        )
+        H, _, _ = oracle.sw_affine_matrices(x, y, AFF)
+        got = hstack_to_matrix(res["hstack"], mlen, nlen)
+        np.testing.assert_array_equal(got, H.astype(got.dtype))
+        i, j, score = oracle.find_max(H)
+        assert float(res["score"][0]) == score
+        assert (int(res["i"][0]), int(res["j"][0])) == (i, j)
+
+
+def test_scan_affine_ragged_batch(rng):
+    """Per-lane lengths respected in one padded affine batch."""
+    eng = ScanEngine(AFF)
+    xs, ys, ms, ns = [], [], [], []
+    pairs = []
+    for _ in range(5):
+        mlen = int(rng.integers(4, 16))
+        nlen = int(rng.integers(6, 30))
+        x, y = random_dna(rng, mlen), random_dna(rng, nlen)
+        pairs.append((x, y))
+        ms.append(mlen)
+        ns.append(nlen)
+    M, N = max(ms), max(ns)
+    xb = np.zeros((5, M), np.uint8)
+    yb = np.zeros((5, N), np.uint8)
+    for k, (x, y) in enumerate(pairs):
+        xb[k, : ms[k]] = np.frombuffer(x.encode(), np.uint8)
+        yb[k, : ns[k]] = np.frombuffer(y.encode(), np.uint8)
+    res = eng.score_batch(xb, yb, np.array(ms), np.array(ns))
+    for k, (x, y) in enumerate(pairs):
+        H, _, _ = oracle.sw_affine_matrices(x, y, AFF)
+        i, j, score = oracle.find_max(H)
+        assert float(res["score"][k]) == score, (x, y)
+        assert (int(res["i"][k]), int(res["j"][k])) == (i, j), (x, y)
+
+
+def test_batch_aligner_affine_traceback(rng):
+    """End-to-end affine alignment (device walk) == affine oracle."""
+    al = BatchSWAligner(AFF)
+    ref = random_dna(rng, 300)
+    reads = []
+    # reads with deletions/insertions that exercise gap runs
+    for _ in range(8):
+        s = int(rng.integers(0, 220))
+        seg = list(ref[s : s + 60])
+        k = int(rng.integers(5, 50))
+        del seg[k : k + int(rng.integers(1, 4))]  # deletion (gap in read)
+        reads.append("".join(seg))
+    got = al.align_batch(reads, [ref])
+    for read, g in zip(reads, got):
+        w = oracle.align(read, ref, AFF)
+        assert g.score == w.score, read
+        assert g.pos == w.pos, read
+        assert g.consensus_x == w.consensus_x, read
+        assert g.consensus_y == w.consensus_y, read
+
+
+def test_batch_aligner_affine_insertion_runs(rng):
+    """Gap-in-reference (F) runs: reads with inserted bases."""
+    al = BatchSWAligner(AFF)
+    ref = random_dna(rng, 250)
+    reads = []
+    for _ in range(6):
+        s = int(rng.integers(0, 180))
+        seg = list(ref[s : s + 50])
+        k = int(rng.integers(5, 40))
+        ins = random_dna(rng, int(rng.integers(2, 4)))
+        seg[k:k] = list(ins)
+        reads.append("".join(seg))
+    got = al.align_batch(reads, [ref])
+    for read, g in zip(reads, got):
+        w = oracle.align(read, ref, AFF)
+        assert (g.score, g.pos) == (w.score, w.pos), read
+        assert g.consensus_x == w.consensus_x, read
+        assert g.consensus_y == w.consensus_y, read
+
+
+def test_mesh_affine_scan(rng):
+    """Affine scoring through the sharded mesh == affine oracle."""
+    from parallel_genomeseq_tpu.parallel.mesh import MeshAligner, make_mesh
+    from parallel_genomeseq_tpu.utils.config import ChunkConfig
+
+    mesh = make_mesh(4, chunk=2)
+    ref = random_dna(rng, 400)
+    reads = [ref[40:100], ref[250:310], ref[100:160], ref[300:360]]
+    ma = MeshAligner(
+        mesh=mesh, cfg=AFF, chunk_cfg=ChunkConfig(npiece=2, overlap_ratio=2.0),
+        engine="scan",
+    )
+    out = ma.score_reads(reads, ref)
+    for k, read in enumerate(reads):
+        H, _, _ = oracle.sw_affine_matrices(read, ref, AFF)
+        _, _, score = oracle.find_max(H)
+        assert int(out["score"][k]) == int(score)
+
+
+def test_mesh_rejects_affine_pallas():
+    from parallel_genomeseq_tpu.parallel.mesh import MeshAligner, make_mesh
+    from parallel_genomeseq_tpu.utils.config import ChunkConfig
+
+    mesh = make_mesh(4, chunk=2)
+    with pytest.raises(ValueError, match="affine"):
+        MeshAligner(
+            mesh=mesh, cfg=AFF, chunk_cfg=ChunkConfig(npiece=2), engine="pallas"
+        )
+
+
+def test_pallas_engine_rejects_affine():
+    from parallel_genomeseq_tpu.ops.wavefront_pallas import PallasEngine
+
+    with pytest.raises(ValueError, match="affine"):
+        PallasEngine(AFF)
