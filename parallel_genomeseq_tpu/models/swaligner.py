@@ -41,7 +41,8 @@ def make_score_engine(cfg: ScoringConfig, name: str = "auto"):
             jax.default_backend() == "tpu"
             and cfg.semantics != Semantics.SAT_UINT8
             and cfg.is_integral
-            and not cfg.is_affine  # affine (Gotoh) runs on the scan engine
+            # affine (Gotoh) has a Pallas kernel for uniform scoring only
+            and (not cfg.is_affine or cfg.is_uniform)
         )
         name = "pallas" if pallas_ok else "scan"
         from ..utils.logging import vlog
@@ -153,6 +154,7 @@ class BatchSWAligner:
             if (
                 isinstance(self.scorer, PallasEngine)
                 and self.cfg.is_uniform
+                and not self.cfg.is_affine  # affine walk needs H/E/F codes
                 and M <= MAX_M
             ):
                 # Fused Pallas pass: score + argmax + move codes, no scan.
@@ -165,7 +167,11 @@ class BatchSWAligner:
                 ys_w[: len(yb)] = ys
                 res = resp
                 xs, ys, M = xs_w, ys_w, Mp  # walk over the padded geometry
-            elif isinstance(self.scorer, PallasEngine) and self.cfg.is_uniform:
+            elif (
+                isinstance(self.scorer, PallasEngine)
+                and self.cfg.is_uniform
+                and not self.cfg.is_affine
+            ):
                 # Strip-length reads: checkpointed strip recompute — the
                 # scan emit_moves tensor would be O(D*M*B) (~40 GB at the
                 # solve_big winner shape).

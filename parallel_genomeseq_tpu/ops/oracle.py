@@ -118,6 +118,46 @@ def sw_score_fast(x, y, cfg: ScoringConfig = ScoringConfig()) -> Tuple[int, int,
     return best, bi, bj
 
 
+def sw_affine_score_fast(
+    x, y, cfg: ScoringConfig
+) -> Tuple[int, int, int]:
+    """(score, i, j) for the affine (Gotoh) model via a column-vectorized
+    DP — the live-verification oracle for the affine Pallas kernel (ms per
+    lane). Integral scoring only.
+
+    The in-column F dependency F[i,j] = max(H[i-1,j] - open, F[i-1,j]) - ext
+    (which feeds H[i,j] in the same column) is resolved with the same prefix-
+    max trick as sw_score_fast: with A[i] = max(0, diag, E[i]) (previous-
+    column terms only) and Q[i] = max_{u<=i}(H[u] + ext*u),
+    H[i] = max(A[i], Q[i-1] - open - ext*i) and Q[i] = max(Q[i-1],
+    A[i] + ext*i) — one np.maximum.accumulate per column.
+    """
+    if not cfg.is_integral:
+        raise ValueError("sw_affine_score_fast requires integral scoring")
+    xb, yb = _as_bytes(x), _as_bytes(y)
+    tab = cfg.byte_table().astype(np.int64)
+    open_ = int(cfg.gap_open)
+    ext = int(cfg.gap_penalty)
+    m = len(xb)
+    NEG = np.int64(-(2**60))
+    gi = ext * np.arange(1, m + 1, dtype=np.int64)  # ext * i
+    Hprev = np.zeros(m + 1, np.int64)  # H[0..m] of the previous column
+    Eprev = np.full(m, NEG, np.int64)  # E[1..m] of the previous column
+    best, bi, bj = 0, 0, 0
+    for j in range(1, len(yb) + 1):
+        s = tab[xb, yb[j - 1]]
+        E = np.maximum(Hprev[1:] - open_, Eprev) - ext
+        A = np.maximum(np.maximum(Hprev[:-1] + s, E), 0)
+        Q = np.maximum.accumulate(np.concatenate(([np.int64(0)], A + gi)))
+        Hcol = np.maximum(A, Q[:-1] - open_ - gi)
+        cm = int(Hcol.max())
+        if cm > best:
+            best, bi, bj = cm, int(np.argmax(Hcol)) + 1, j
+        Hprev[1:] = Hcol
+        Eprev = E
+    return best, bi, bj
+
+
 def find_max(H: np.ndarray) -> Tuple[int, int, float]:
     """(i, j, value): first maximum in column-major order (Eigen maxCoeff)."""
     flat = np.argmax(H.T)  # row-major argmax of the transpose == column-major

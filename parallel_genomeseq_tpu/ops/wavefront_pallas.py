@@ -205,6 +205,108 @@ def _kernel_uniform(x_ref, y_ref, best_ref, bestd_ref,
         bestd_ref[:] = bestd
 
 
+def _kernel_uniform_affine(x_ref, y_ref, best_ref, bestd_ref,
+                           *, nblk: int, match: int, mismatch: int,
+                           gap: int, gopen: int, track_pos: bool = True,
+                           slot: int = 0):
+    """Affine-gap (Gotoh) uniform-scoring kernel — extension beyond the
+    reference (linear gaps only). Two extra carried diagonals E (west gap
+    runs) and F (north gap runs):
+
+        E_d = max(H_{d-1} - open, E_{d-1}) - extend
+        F_d = max(shift(H_{d-1}) - open, shift(F_{d-1})) - extend
+        H_d = max(H_{d-2}shift + s, E_d, F_d, 0)
+
+    Mask-free like _kernel_uniform: the j < 1 region's E/F chains start at 0
+    and stay strictly negative (E >= -(open+extend) since H >= 0 — also the
+    overflow floor), so they can inflate true boundary values only while
+    negative, which max(..., 0) in H ignores; pad-region decay (mismatch < 0,
+    extend >= 1) keeps score and argmax exact. Same slot-packed argmax as the
+    linear kernel (all operands pre-scaled by ``slot``)."""
+    M, B = x_ref.shape
+    x = x_ref[:].astype(jnp.int32)
+    s = slot or 1
+    mt = np.asarray(match * s, jnp.int32)
+    mm = np.asarray(mismatch * s, jnp.int32)
+    gp = np.asarray(gap * s, jnp.int32)
+    go = np.asarray(gopen * s, jnp.int32)
+    zrow = jnp.zeros((1, B), jnp.int32)
+
+    def outer(o, carry):
+        h1, s2, e1, f1, best, bestd, ywin = carry
+        base = pl.multiple_of(o * UNROLL, UNROLL)
+        blk = y_ref[pl.ds(base, UNROLL), :].astype(jnp.int32)
+        for k in range(UNROLL):
+            d = o * UNROLL + k
+            yc = blk[k : k + 1, :]
+            ywin = _shift_down(ywin, yc)
+            sc = jnp.where(x == ywin, mt, mm)
+            s1 = _shift_down(h1, zrow)
+            f1s = _shift_down(f1, zrow)
+            e_d = jnp.maximum(h1 - go, e1) - gp
+            f_d = jnp.maximum(s1 - go, f1s) - gp
+            hd = jnp.maximum(
+                jnp.maximum(s2 + sc, e_d), jnp.maximum(f_d, 0)
+            )
+            if slot:
+                best = jnp.maximum(best, hd + (slot - 1 - d))
+            elif track_pos:
+                upd = hd > best
+                best = jnp.where(upd, hd, best)
+                bestd = jnp.where(upd, d, bestd)
+            else:
+                best = jnp.maximum(best, hd)
+            s2 = s1
+            e1 = e_d
+            f1 = f_d
+            h1 = hd
+        return h1, s2, e1, f1, best, bestd, ywin
+
+    zeros = jnp.zeros((M, B), jnp.int32)
+    init = (zeros, zeros, zeros, zeros, zeros, zeros, zeros)
+    _, _, _, _, best, bestd, _ = jax.lax.fori_loop(0, nblk, outer, init)
+    if slot:
+        best_ref[:] = best // slot
+        bestd_ref[:] = (slot - 1) - (best % slot)
+    else:
+        best_ref[:] = best
+        bestd_ref[:] = bestd
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("match", "mismatch", "gap", "gopen", "interpret", "track_pos"),
+)
+def _call_uniform_affine(xs, ys, *, match, mismatch, gap, gopen, interpret,
+                         track_pos=True):
+    M, B = xs.shape
+    Ny = ys.shape[0]
+    nblk = (M + Ny + UNROLL - 2) // UNROLL
+    nblk = min(nblk, Ny // UNROLL)
+    slot = _pick_slot(nblk * UNROLL, match * M) if track_pos else 0
+    kernel = functools.partial(
+        _kernel_uniform_affine, nblk=nblk, match=match, mismatch=mismatch,
+        gap=gap, gopen=gopen, track_pos=track_pos, slot=slot,
+    )
+    tail, out_specs = _common_specs(M, Ny)
+    x_spec = pl.BlockSpec((M, LANE), lambda b: (0, b), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // LANE,),
+        in_specs=[x_spec] + tail,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((M, B), jnp.int32),
+            jax.ShapeDtypeStruct((M, B), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=20 * (M + Ny) * M * B, bytes_accessed=M * B * 16,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xs, ys)
+
+
 def _kernel_profile(prof_ref, y_ref, best_ref, bestd_ref,
                     *, nblk: int, alphabet: Tuple[int, ...], worst: int,
                     gap: int, slot: int = 0):
@@ -871,10 +973,10 @@ class PallasEngine:
             )
         if not cfg.is_integral:
             raise ValueError("PallasEngine requires integral scoring parameters")
-        if cfg.is_affine:
+        if cfg.is_affine and not cfg.is_uniform:
             raise ValueError(
-                "PallasEngine has no affine-gap kernel yet; use ScanEngine "
-                "(make_score_engine 'auto' does this)"
+                "PallasEngine affine-gap kernel supports uniform scoring "
+                "only; use ScanEngine for affine substitution matrices"
             )
         # Mask-free kernel preconditions (see _make_body): strictly negative
         # mismatch / off-worst scores and gap >= 1 guarantee out-of-range
@@ -893,7 +995,7 @@ class PallasEngine:
         self.interpret = interpret
         # Per-kernel-family miscompile gates; interpret mode is trusted.
         self._checked = (
-            {"uniform", "profile", "strips", "strips_profile", "moves"}
+            {"uniform", "profile", "strips", "strips_profile", "moves", "affine"}
             if interpret else set()
         )
         from ..utils.platform import setup_cache
@@ -932,13 +1034,14 @@ class PallasEngine:
         oracle (ops/oracle.sw_score_fast, ~50ms/lane). Unlike self_check(),
         this adds no dedicated small-shape kernel compile — on the remote
         compile service a whole extra program costs minutes of startup."""
-        from .oracle import sw_score_fast
+        from .oracle import sw_affine_score_fast, sw_score_fast
 
+        fast = sw_affine_score_fast if self.cfg.is_affine else sw_score_fast
         m = np.asarray(m)
         n = np.asarray(n)
         B0 = x_bm.shape[0]
         for k in {0, B0 - 1}:
-            want = sw_score_fast(x_bm[k, : m[k]], y_bn[k, : n[k]], self.cfg)
+            want = fast(x_bm[k, : m[k]], y_bn[k, : n[k]], self.cfg)
             got_s = int(np.asarray(res["score"])[k])
             got = (
                 (got_s, int(np.asarray(res["i"])[k]), int(np.asarray(res["j"])[k]))
@@ -961,7 +1064,7 @@ class PallasEngine:
         uni = self.cfg.is_uniform
         path = (
             ("strips" if uni else "strips_profile") if prep["strips"]
-            else ("uniform" if uni else "profile")
+            else ("affine" if self.cfg.is_affine else ("uniform" if uni else "profile"))
         )
         if path not in self._checked:
             self._verify_first(x_bm, y_bn, m, n, res, need_pos, path)
@@ -974,6 +1077,11 @@ class PallasEngine:
         'B0'; pad lanes have i == 0 (inactive for the walk)."""
         if not self.cfg.is_uniform:
             raise EnvelopeError("moves kernel supports uniform scoring only")
+        if self.cfg.is_affine:
+            raise EnvelopeError(
+                "moves kernel emits linear-gap greedy codes; affine "
+                "traceback uses the scan engine's H/E/F move codes"
+            )
         x_bm = np.asarray(x_bm, np.uint8)
         y_bn = np.asarray(y_bn, np.uint8)
         if x_bm.shape[1] > MAX_M:
@@ -1088,6 +1196,11 @@ class PallasEngine:
         B0, M0 = x_bm.shape
         N0 = y_bn.shape[1]
         strips = M0 > MAX_M
+        if strips and self.cfg.is_affine:
+            raise EnvelopeError(
+                "no affine-gap strip kernel: reads longer than "
+                f"{MAX_M} bp with gap_open need the scan engine"
+            )
         if strips:
             # Only the uniform kernel's boundary rows are int16 (the profile
             # strip kernel carries int32 rows, no score bound).
@@ -1155,7 +1268,14 @@ class PallasEngine:
                 )
             score, i, j = _reduce_best_strips(best, bestd, None, None)
             return {"score": score[:B0], "i": i[:B0], "j": j[:B0]}
-        if self.cfg.is_uniform:
+        if self.cfg.is_affine:
+            best, bestd = _call_uniform_affine(
+                *args,
+                match=int(self.cfg.match), mismatch=int(self.cfg.mismatch),
+                gap=int(self.cfg.gap_penalty), gopen=int(self.cfg.gap_open),
+                interpret=self.interpret, track_pos=need_pos,
+            )
+        elif self.cfg.is_uniform:
             M, Ny = args[0].shape[0], args[1].shape[0]
             narrow = (
                 NARROW_ENABLED

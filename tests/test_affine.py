@@ -187,8 +187,78 @@ def test_mesh_rejects_affine_pallas():
         )
 
 
-def test_pallas_engine_rejects_affine():
+def test_pallas_engine_accepts_uniform_affine():
     from parallel_genomeseq_tpu.ops.wavefront_pallas import PallasEngine
 
-    with pytest.raises(ValueError, match="affine"):
-        PallasEngine(AFF)
+    # uniform affine has a dedicated kernel; construction must succeed
+    PallasEngine(AFF, interpret=True)
+
+
+def test_affine_score_fast_matches_matrices(rng):
+    """Column-vectorized affine oracle == full H/E/F matrices (score+argmax)."""
+    for _ in range(6):
+        mlen = int(rng.integers(4, 24))
+        nlen = int(rng.integers(6, 48))
+        x, y = random_dna(rng, mlen), random_dna(rng, nlen)
+        H, _, _ = oracle.sw_affine_matrices(x, y, AFF)
+        i, j, score = oracle.find_max(H)
+        got = oracle.sw_affine_score_fast(x, y, AFF)
+        assert got == (int(score), i, j), (x, y)
+
+
+def test_pallas_affine_kernel_matches_scan(rng):
+    """Affine Pallas kernel (interpret mode) == scan affine engine."""
+    from parallel_genomeseq_tpu.ops.wavefront_pallas import PallasEngine
+
+    from parallel_genomeseq_tpu.utils.encoding import X_PAD, Y_PAD, batch_pad, to_bytes
+
+    pe = PallasEngine(AFF, interpret=True)
+    se = ScanEngine(AFF)
+    B = 7
+    xb, yb = [], []
+    for k in range(B):
+        xb.append(to_bytes(random_dna(rng, int(rng.integers(8, 41)))))
+        yb.append(to_bytes(random_dna(rng, int(rng.integers(16, 97)))))
+    xs = batch_pad(xb, 40, X_PAD)
+    ys = batch_pad(yb, 96, Y_PAD)
+    m = np.array([len(v) for v in xb], np.int32)
+    n = np.array([len(v) for v in yb], np.int32)
+    got = pe.score_batch(xs, ys, m, n)
+    want = se.score_batch(xs, ys, m, n)
+    for k in ("score", "i", "j"):
+        np.testing.assert_array_equal(
+            np.asarray(got[k]), np.asarray(want[k]).astype(np.int32), k
+        )
+
+
+def test_pallas_affine_score_only(rng):
+    from parallel_genomeseq_tpu.ops.wavefront_pallas import PallasEngine
+
+    pe = PallasEngine(AFF, interpret=True)
+    ref = random_dna(rng, 200)
+    reads = [ref[20:80], ref[100:160]]
+    xs = np.zeros((2, 60), np.uint8)
+    for k, r in enumerate(reads):
+        xs[k] = np.frombuffer(r.encode(), np.uint8)
+    ys = np.tile(np.frombuffer(ref.encode(), np.uint8), (2, 1))
+    res = pe.score_batch(xs, ys, np.array([60, 60]), np.array([200, 200]),
+                         need_pos=False)
+    assert list(np.asarray(res["score"])) == [180, 180]
+
+
+def test_pallas_affine_rejects_strips_and_matrix():
+    from parallel_genomeseq_tpu.ops.wavefront_pallas import (
+        EnvelopeError, MAX_M, PallasEngine,
+    )
+    from parallel_genomeseq_tpu.ops.substitution import ALPHABET, BLOSUM50
+
+    pe = PallasEngine(AFF, interpret=True)
+    big = np.ones((1, MAX_M + 8), np.uint8)
+    with pytest.raises(EnvelopeError, match="affine"):
+        pe.score_batch(big, np.ones((1, 64), np.uint8),
+                       np.array([MAX_M + 8]), np.array([64]))
+    aff_mat = ScoringConfig(
+        gap_penalty=1.0, gap_open=4.0, matrix=BLOSUM50, alphabet=ALPHABET
+    )
+    with pytest.raises(ValueError, match="uniform"):
+        PallasEngine(aff_mat, interpret=True)
