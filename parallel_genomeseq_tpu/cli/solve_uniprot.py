@@ -44,7 +44,12 @@ def main(argv=None):
     p.add_argument("--database", required=True, help="FASTA or line-per-protein database")
     p.add_argument("--output", default=str(common.REPO_DATA / "uniprot_output.csv"))
     p.add_argument("--matrix", default="blosum50", choices=["blosum50", "blosum62", "uniform"])
-    p.add_argument("--gap-penalty", type=float, default=12.0)
+    p.add_argument("--gap-penalty", type=float, default=12.0,
+                   help="per-residue gap cost (the affine extend when --gap-open > 0)")
+    p.add_argument("--gap-open", type=float, default=0.0,
+                   help="affine opening surcharge: gap of length L costs "
+                   "gap_open + L * gap_penalty (swps3's 12/2 affine default "
+                   "is --gap-open 10 --gap-penalty 2)")
     p.add_argument("--top", type=int, default=10, help="print top-K hits")
     p.add_argument("--limit", type=int, default=0, help="only first N proteins (0 = all)")
     p.add_argument("--engine", default="auto", choices=["auto", "pallas", "scan"])
@@ -87,9 +92,11 @@ def main(argv=None):
     if args.matrix == "uniform":
         from ..utils.config import ScoringConfig
 
-        cfg = ScoringConfig(gap_penalty=args.gap_penalty)
+        cfg = ScoringConfig(gap_penalty=args.gap_penalty, gap_open=args.gap_open)
     else:
-        cfg = blosum_config(args.matrix, gap_penalty=args.gap_penalty)
+        cfg = blosum_config(
+            args.matrix, gap_penalty=args.gap_penalty, gap_open=args.gap_open
+        )
     engine = make_score_engine(cfg, args.engine)
 
     # Length-bucketed batches: sort by length, pad each batch to its own

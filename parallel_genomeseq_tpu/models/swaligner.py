@@ -41,8 +41,6 @@ def make_score_engine(cfg: ScoringConfig, name: str = "auto"):
             jax.default_backend() == "tpu"
             and cfg.semantics != Semantics.SAT_UINT8
             and cfg.is_integral
-            # affine (Gotoh) has a Pallas kernel for uniform scoring only
-            and (not cfg.is_affine or cfg.is_uniform)
         )
         name = "pallas" if pallas_ok else "scan"
         from ..utils.logging import vlog

@@ -88,8 +88,16 @@ BLOSUM62 = _parse(_BLOSUM62)
 BLOSUM50 = _parse(_BLOSUM50)
 
 
-def blosum_config(name: str = "blosum50", gap_penalty: float = 12.0) -> ScoringConfig:
-    """ScoringConfig for a named matrix. Default gap matches swps3's
-    BLOSUM50 usage (linear approximation of its 12/2 affine default)."""
+def blosum_config(
+    name: str = "blosum50", gap_penalty: float = 12.0, gap_open: float = 0.0
+) -> ScoringConfig:
+    """ScoringConfig for a named matrix. The linear default matches swps3's
+    BLOSUM50 usage approximated linearly; pass gap_open=10, gap_penalty=2
+    (open/extend) for swps3's true 12/2 affine semantics — here a gap of
+    length L costs gap_open + L * gap_penalty, so swps3's 12+2(L-1) is
+    gap_open=10, extend=2."""
     table = {"blosum50": BLOSUM50, "blosum62": BLOSUM62}[name.lower()]
-    return ScoringConfig(matrix=table, alphabet=ALPHABET, gap_penalty=gap_penalty)
+    return ScoringConfig(
+        matrix=table, alphabet=ALPHABET, gap_penalty=gap_penalty,
+        gap_open=gap_open,
+    )

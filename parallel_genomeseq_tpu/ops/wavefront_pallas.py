@@ -339,6 +339,97 @@ def _kernel_profile(prof_ref, y_ref, best_ref, bestd_ref,
         bestd_ref[:] = bestd
 
 
+def _kernel_profile_affine(prof_ref, y_ref, best_ref, bestd_ref,
+                           *, nblk: int, alphabet: Tuple[int, ...],
+                           worst: int, gap: int, gopen: int, slot: int = 0):
+    """Affine-gap (Gotoh) kernel with substitution-matrix scoring via
+    per-read score profiles — the exact swps3 protein configuration
+    (BLOSUM + open/extend gaps, e.g. 12/2) on the fast path. Same H/E/F
+    carries and mask-free argument as _kernel_uniform_affine; same profile
+    selection as _kernel_profile (no gathers in the hot loop)."""
+    A, M, B = prof_ref.shape
+    s = slot or 1
+    prof = prof_ref[:] * s if slot else prof_ref[:]
+    worst_s = np.asarray(worst * s, jnp.int32)
+    gp = np.asarray(gap * s, jnp.int32)
+    go = np.asarray(gopen * s, jnp.int32)
+    zrow = jnp.zeros((1, B), jnp.int32)
+
+    def outer(o, carry):
+        h1, s2, e1, f1, best, bestd, ywin = carry
+        base = pl.multiple_of(o * UNROLL, UNROLL)
+        blk = y_ref[pl.ds(base, UNROLL), :].astype(jnp.int32)
+        for k in range(UNROLL):
+            d = o * UNROLL + k
+            yc = blk[k : k + 1, :]
+            ywin = _shift_down(ywin, yc)
+            sc = jnp.full((M, B), worst_s, jnp.int32)
+            for c in range(A):
+                sc = jnp.where(ywin == np.int32(alphabet[c]), prof[c], sc)
+            s1 = _shift_down(h1, zrow)
+            f1s = _shift_down(f1, zrow)
+            e_d = jnp.maximum(h1 - go, e1) - gp
+            f_d = jnp.maximum(s1 - go, f1s) - gp
+            hd = jnp.maximum(
+                jnp.maximum(s2 + sc, e_d), jnp.maximum(f_d, 0)
+            )
+            if slot:
+                best = jnp.maximum(best, hd + (slot - 1 - d))
+            else:
+                upd = hd > best
+                best = jnp.where(upd, hd, best)
+                bestd = jnp.where(upd, d, bestd)
+            s2 = s1
+            e1 = e_d
+            f1 = f_d
+            h1 = hd
+        return h1, s2, e1, f1, best, bestd, ywin
+
+    zeros = jnp.zeros((M, B), jnp.int32)
+    init = (zeros, zeros, zeros, zeros, zeros, zeros, zeros)
+    _, _, _, _, best, bestd, _ = jax.lax.fori_loop(0, nblk, outer, init)
+    if slot:
+        best_ref[:] = best // slot
+        bestd_ref[:] = (slot - 1) - (best % slot)
+    else:
+        best_ref[:] = best
+        bestd_ref[:] = bestd
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("alphabet", "worst", "best_sub", "gap", "gopen", "interpret"),
+)
+def _call_profile_affine(prof, ys, *, alphabet, worst, best_sub, gap, gopen,
+                         interpret):
+    A, M, B = prof.shape
+    Ny = ys.shape[0]
+    nblk = (M + Ny + UNROLL - 2) // UNROLL
+    nblk = min(nblk, Ny // UNROLL)
+    slot = _pick_slot(nblk * UNROLL, max(best_sub, 1) * M)
+    kernel = functools.partial(
+        _kernel_profile_affine, nblk=nblk, alphabet=alphabet, worst=worst,
+        gap=gap, gopen=gopen, slot=slot,
+    )
+    tail, out_specs = _common_specs(M, Ny)
+    p_spec = pl.BlockSpec((A, M, LANE), lambda b: (0, 0, b), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // LANE,),
+        in_specs=[p_spec] + tail,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((M, B), jnp.int32),
+            jax.ShapeDtypeStruct((M, B), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=(20 + A) * (M + Ny) * M * B, bytes_accessed=M * B * 16,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(prof, ys)
+
+
 def _kernel_uniform_moves(x_ref, y_ref, best_ref, bestd_ref, moves_ref,
                           h1_s, s2_s, best_s, bestd_s, ywin_s,
                           *, match: int, mismatch: int, gap: int):
@@ -973,11 +1064,6 @@ class PallasEngine:
             )
         if not cfg.is_integral:
             raise ValueError("PallasEngine requires integral scoring parameters")
-        if cfg.is_affine and not cfg.is_uniform:
-            raise ValueError(
-                "PallasEngine affine-gap kernel supports uniform scoring "
-                "only; use ScanEngine for affine substitution matrices"
-            )
         # Mask-free kernel preconditions (see _make_body): strictly negative
         # mismatch / off-worst scores and gap >= 1 guarantee out-of-range
         # cells decay strictly below any valid maximum.
@@ -995,7 +1081,8 @@ class PallasEngine:
         self.interpret = interpret
         # Per-kernel-family miscompile gates; interpret mode is trusted.
         self._checked = (
-            {"uniform", "profile", "strips", "strips_profile", "moves", "affine"}
+            {"uniform", "profile", "strips", "strips_profile", "moves",
+             "affine", "affine_profile"}
             if interpret else set()
         )
         from ..utils.platform import setup_cache
@@ -1062,10 +1149,12 @@ class PallasEngine:
         prep = self.prepare(x_bm, y_bn, m, n)
         res = self.score_prepared(prep, need_pos=need_pos)
         uni = self.cfg.is_uniform
-        path = (
-            ("strips" if uni else "strips_profile") if prep["strips"]
-            else ("affine" if self.cfg.is_affine else ("uniform" if uni else "profile"))
-        )
+        if prep["strips"]:
+            path = "strips" if uni else "strips_profile"
+        elif self.cfg.is_affine:
+            path = "affine" if uni else "affine_profile"
+        else:
+            path = "uniform" if uni else "profile"
         if path not in self._checked:
             self._verify_first(x_bm, y_bn, m, n, res, need_pos, path)
         return res
@@ -1268,12 +1357,20 @@ class PallasEngine:
                 )
             score, i, j = _reduce_best_strips(best, bestd, None, None)
             return {"score": score[:B0], "i": i[:B0], "j": j[:B0]}
-        if self.cfg.is_affine:
+        if self.cfg.is_affine and self.cfg.is_uniform:
             best, bestd = _call_uniform_affine(
                 *args,
                 match=int(self.cfg.match), mismatch=int(self.cfg.mismatch),
                 gap=int(self.cfg.gap_penalty), gopen=int(self.cfg.gap_open),
                 interpret=self.interpret, track_pos=need_pos,
+            )
+        elif self.cfg.is_affine:
+            S = np.asarray(self.cfg.matrix).astype(np.int32)
+            best, bestd = _call_profile_affine(
+                *args, alphabet=tuple(self.cfg.alphabet.encode("ascii")),
+                worst=int(S.min()), best_sub=int(S.max()),
+                gap=int(self.cfg.gap_penalty), gopen=int(self.cfg.gap_open),
+                interpret=self.interpret,
             )
         elif self.cfg.is_uniform:
             M, Ny = args[0].shape[0], args[1].shape[0]

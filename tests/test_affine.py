@@ -246,19 +246,57 @@ def test_pallas_affine_score_only(rng):
     assert list(np.asarray(res["score"])) == [180, 180]
 
 
-def test_pallas_affine_rejects_strips_and_matrix():
+def test_pallas_affine_rejects_strips():
+    """Strip-length reads have no affine kernel: EnvelopeError (callers with
+    a fallback catch exactly this and rerun on the scan engine)."""
     from parallel_genomeseq_tpu.ops.wavefront_pallas import (
         EnvelopeError, MAX_M, PallasEngine,
     )
-    from parallel_genomeseq_tpu.ops.substitution import ALPHABET, BLOSUM50
 
     pe = PallasEngine(AFF, interpret=True)
     big = np.ones((1, MAX_M + 8), np.uint8)
     with pytest.raises(EnvelopeError, match="affine"):
         pe.score_batch(big, np.ones((1, 64), np.uint8),
                        np.array([MAX_M + 8]), np.array([64]))
-    aff_mat = ScoringConfig(
-        gap_penalty=1.0, gap_open=4.0, matrix=BLOSUM50, alphabet=ALPHABET
-    )
-    with pytest.raises(ValueError, match="uniform"):
-        PallasEngine(aff_mat, interpret=True)
+
+
+def test_pallas_profile_affine_matches_scan(rng):
+    """Affine + BLOSUM substitution scoring (the swps3 12/2 protein config)
+    on the Pallas profile kernel == scan affine engine."""
+    from parallel_genomeseq_tpu.ops.substitution import blosum_config
+    from parallel_genomeseq_tpu.ops.wavefront_pallas import PallasEngine
+    from parallel_genomeseq_tpu.utils.encoding import X_PAD, Y_PAD, batch_pad
+
+    cfg = blosum_config("blosum50", gap_penalty=2.0, gap_open=10.0)
+    assert cfg.is_affine and not cfg.is_uniform
+    pe = PallasEngine(cfg, interpret=True)
+    se = ScanEngine(cfg)
+    aas = "ARNDCQEGHILKMFPSTWYV"
+    prot = lambda n: "".join(rng.choice(list(aas)) for _ in range(n))
+    xb = [np.frombuffer(prot(int(rng.integers(10, 30))).encode(), np.uint8)
+          for _ in range(4)]
+    yb = [np.frombuffer(prot(int(rng.integers(20, 60))).encode(), np.uint8)
+          for _ in range(4)]
+    xs = batch_pad(xb, 32, X_PAD)
+    ys = batch_pad(yb, 64, Y_PAD)
+    m = np.array([len(v) for v in xb], np.int32)
+    n = np.array([len(v) for v in yb], np.int32)
+    got = pe.score_batch(xs, ys, m, n)
+    want = se.score_batch(xs, ys, m, n)
+    for k in ("score", "i", "j"):
+        np.testing.assert_array_equal(
+            np.asarray(got[k]), np.asarray(want[k]).astype(np.int32), k
+        )
+
+
+def test_affine_fast_oracle_blosum(rng):
+    from parallel_genomeseq_tpu.ops.substitution import blosum_config
+
+    cfg = blosum_config("blosum62", gap_penalty=2.0, gap_open=10.0)
+    aas = "ARNDCQEGHILKMFPSTWYV"
+    prot = lambda n: "".join(rng.choice(list(aas)) for _ in range(n))
+    for _ in range(3):
+        x, y = prot(int(rng.integers(8, 20))), prot(int(rng.integers(12, 40)))
+        H, _, _ = oracle.sw_affine_matrices(x, y, cfg)
+        i, j, score = oracle.find_max(H)
+        assert oracle.sw_affine_score_fast(x, y, cfg) == (int(score), i, j)
