@@ -300,3 +300,26 @@ def test_affine_fast_oracle_blosum(rng):
         H, _, _ = oracle.sw_affine_matrices(x, y, cfg)
         i, j, score = oracle.find_max(H)
         assert oracle.sw_affine_score_fast(x, y, cfg) == (int(score), i, j)
+
+
+def test_chunked_affine(rng):
+    """Affine scoring through the chunked aligner (score + winner-re-run
+    traceback) == unchunked affine oracle when the alignment fits a window."""
+    from parallel_genomeseq_tpu.parallel.chunking import ChunkedAligner
+    from parallel_genomeseq_tpu.utils.config import ChunkConfig
+
+    ref = random_dna(rng, 1600)
+    reads = []
+    for _ in range(5):
+        s = int(rng.integers(0, 1500))
+        seg = list(ref[s : s + 70])
+        k = int(rng.integers(10, 60))
+        del seg[k : k + 2]
+        reads.append("".join(seg))
+    ca = ChunkedAligner(cfg=AFF, chunk=ChunkConfig(npiece=4, overlap_ratio=2.0))
+    got = ca.align_batch(reads, ref)
+    for read, g in zip(reads, got):
+        w = oracle.align(read, ref, AFF)
+        assert g.score == w.score, read
+        assert g.pos == w.pos, read
+        assert g.consensus_x == w.consensus_x, read
