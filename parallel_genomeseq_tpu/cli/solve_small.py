@@ -39,6 +39,12 @@ def main(argv=None):
         "(saturating uint8 + raw-layout argmax tie-break); exact = true "
         "int32 scores (default, strictly better on ground-truth parity)",
     )
+    p.add_argument(
+        "--both-strands", action="store_true",
+        help="also align the reverse complement of each read and keep the "
+        "better score (forward wins ties); extension — the reference "
+        "aligns the given sequence only",
+    )
     common.add_scoring_flags(p)
     common.add_chunk_flags(p, npiece_default=17)
     common.add_platform_flags(p)
@@ -67,10 +73,25 @@ def main(argv=None):
         aligner = BatchSWAligner(cfg)
         stream = lambda batches: aligner.align_stream(batches, [ref])
 
+    if args.both_strands:
+        # Each batch doubles with the reads' reverse complements (same
+        # pipelined stream, 2x lanes); pairwise merge keeps the better
+        # strand per read.
+        from ..models.swaligner import merge_strand_pairs
+        from ..utils.encoding import revcomp
+
+        inner = stream
+
+        def stream(batches):  # noqa: F811 — intentional wrap
+            bl = [list(b) for b in batches]
+            doubled = (b + [revcomp(r) for r in b] for b in bl)
+            for b, res in zip(bl, inner(doubled)):
+                yield merge_strand_pairs(res[: len(b)], res[len(b) :])
+
     # Batches are pipelined: align_stream keeps a few batches dispatched
     # ahead of the oldest blocking fetch, hiding the device round trips.
     results = []
-    cells = sum(len(r) for r in reads) * len(ref)
+    cells = sum(len(r) for r in reads) * len(ref) * (2 if args.both_strands else 1)
     t0 = time.perf_counter()
     for bk, batch_results in enumerate(stream(common.batched(reads, args.batch_size))):
         results.extend(batch_results)

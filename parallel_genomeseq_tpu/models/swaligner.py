@@ -291,6 +291,21 @@ def _assemble(nreads, traceback, score, ii, jj, pos, consensus, t: Timings):
     return out
 
 
+def merge_strand_pairs(fwd: List[AlignResult], rev: List[AlignResult]) -> List[AlignResult]:
+    """Pairwise merge of forward / reverse-complement results for
+    both-strand alignment (extension — the reference aligns the given
+    sequence only). The reverse result wins only on a strictly better
+    score (conventional plus-strand preference on ties) and is tagged
+    strand='-'; its pos/consensus are in forward reference coordinates
+    for the reverse-complemented read."""
+    import dataclasses
+
+    out = []
+    for f, r in zip(fwd, rev):
+        out.append(dataclasses.replace(r, strand="-") if r.score > f.score else f)
+    return out
+
+
 class SWAligner:
     """Single-pair aligner with the reference's query surface."""
 

@@ -30,6 +30,21 @@ def from_bytes(arr) -> str:
     return (b[:nul] if nul >= 0 else b).decode("ascii")
 
 
+_RC = np.arange(256, dtype=np.uint8)
+for _a, _b in ((ord("A"), ord("T")), (ord("C"), ord("G")),
+               (ord("a"), ord("t")), (ord("c"), ord("g"))):
+    _RC[_a], _RC[_b] = _b, _a
+# N (and any non-ACGT byte) maps to itself.
+
+
+def revcomp(seq):
+    """Reverse complement. str -> str, uint8 array -> uint8 array.
+    A<->T, C<->G (case preserved); other bytes (N, ...) map to themselves."""
+    if isinstance(seq, str):
+        return from_bytes(revcomp(to_bytes(seq)))
+    return _RC[np.asarray(seq, np.uint8)][::-1].copy()
+
+
 def pad_to(arr: np.ndarray, length: int, fill: np.uint8) -> np.ndarray:
     """Right-pad a 1-D uint8 array with ``fill`` to ``length``."""
     if arr.shape[0] > length:

@@ -51,4 +51,5 @@ class AlignResult:
     consensus_y: str = ""
     max_i: int = 0  # 1-based read index of the DP maximum
     max_j: int = 0  # 1-based reference index of the DP maximum
+    strand: str = "+"  # "-" when the reverse complement aligned better
     timings: Timings = Timings()
