@@ -1022,15 +1022,15 @@ def _reduce_best_strips(best, bestd, m, n):
 
 
 def score_lanes_jit(x_lanes, y_lanes, *, match: int, mismatch: int, gap: int,
-                    interpret: bool):
+                    interpret: bool, gopen: int = 0):
     """Traceable batch scorer for use INSIDE jit / shard_map (the per-shard
     compute of the distributed mesh aligner). Unlike PallasEngine.prepare,
     all padding is pure jnp, so the call composes with collectives.
 
     x_lanes: (B0, M0) uint8 reads padded with X_PAD; y_lanes: (B0, N0) uint8
     references padded with Y_PAD. Single-strip geometry only (M0 <= MAX_M).
-    Returns (score, i, j), each (B0,) int32 — same contract/tie-break as
-    PallasEngine.score_batch.
+    gopen > 0 selects the affine (Gotoh) kernel. Returns (score, i, j), each
+    (B0,) int32 — same contract/tie-break as PallasEngine.score_batch.
     """
     B0, M0 = x_lanes.shape
     N0 = y_lanes.shape[1]
@@ -1041,9 +1041,15 @@ def score_lanes_jit(x_lanes, y_lanes, *, match: int, mismatch: int, gap: int,
     B = _round_up(max(B0, LANE), LANE)
     xs = jnp.full((M, B), 1, jnp.uint8).at[:M0, :B0].set(x_lanes.T)  # X_PAD
     ys = jnp.full((Ny, B), 2, jnp.uint8).at[:N0, :B0].set(y_lanes.T)  # Y_PAD
-    best, bestd = _call_uniform(
-        xs, ys, match=match, mismatch=mismatch, gap=gap, interpret=interpret
-    )
+    if gopen:
+        best, bestd = _call_uniform_affine(
+            xs, ys, match=match, mismatch=mismatch, gap=gap, gopen=gopen,
+            interpret=interpret,
+        )
+    else:
+        best, bestd = _call_uniform(
+            xs, ys, match=match, mismatch=mismatch, gap=gap, interpret=interpret
+        )
     score, i, j = _reduce_best(best, bestd)
     return score[:B0], i[:B0], j[:B0]
 

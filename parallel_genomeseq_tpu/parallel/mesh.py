@@ -67,11 +67,11 @@ def make_mesh(
     return Mesh(arr, ("chunk", "batch"))
 
 
-def _score_lanes_pallas(x_rm, y_pn, match, mismatch, gap, interpret):
+def _score_lanes_pallas(x_rm, y_pn, match, mismatch, gap, interpret, gopen=0):
     """Score all (local reads x local pieces) lanes with the Pallas wavefront
     kernel — the production per-shard compute on TPU meshes (the scan path
     remains the general/fallback engine). Lanes are already X_PAD/Y_PAD
-    padded by score_reads."""
+    padded by score_reads. gopen > 0 selects the affine kernel."""
     from ..ops.wavefront_pallas import score_lanes_jit
 
     Rl, M = x_rm.shape
@@ -79,7 +79,8 @@ def _score_lanes_pallas(x_rm, y_pn, match, mismatch, gap, interpret):
     xs = jnp.repeat(x_rm, Pl, axis=0)  # lane = r * Pl + p
     ys = jnp.tile(y_pn, (Rl, 1))
     score, i, j = score_lanes_jit(
-        xs, ys, match=match, mismatch=mismatch, gap=gap, interpret=interpret
+        xs, ys, match=match, mismatch=mismatch, gap=gap, interpret=interpret,
+        gopen=gopen,
     )
     return (
         score.reshape(Rl, Pl),
@@ -163,7 +164,6 @@ class MeshAligner:
                 if (
                     jax.default_backend() == "tpu"
                     and cfg.is_uniform
-                    and not cfg.is_affine
                     and int(cfg.mismatch) < 0
                     and int(cfg.gap_penalty) >= 1
                 )
@@ -189,10 +189,6 @@ class MeshAligner:
                 raise ValueError(
                     "MeshAligner engine='pallas' requires gap_penalty >= 1 (use engine='scan')"
                 )
-            if cfg.is_affine:
-                raise ValueError(
-                    "MeshAligner engine='pallas' has no affine-gap kernel (use engine='scan')"
-                )
         self.engine = engine
         self._fn_cache = {}
         # Per-instance first-result miscompile gate (remote TPU compiles have
@@ -213,6 +209,7 @@ class MeshAligner:
             match_i = int(self.cfg.match)
             mismatch_i = int(self.cfg.mismatch)
             gap_i = int(self.cfg.gap_penalty)
+            gopen_i = int(self.cfg.gap_open)
             interpret = jax.default_backend() != "tpu"
 
         @functools.partial(
@@ -236,7 +233,7 @@ class MeshAligner:
         def run(x, y, m, n, lefts, pids):
             if use_pallas:
                 score, i, j = _score_lanes_pallas(
-                    x, y, match_i, mismatch_i, gap_i, interpret
+                    x, y, match_i, mismatch_i, gap_i, interpret, gopen_i
                 )  # (Rl, Pl)
             else:
                 score, i, j = _score_lanes_scan(x, y, m, n, table, gap, gap_open)
@@ -322,10 +319,11 @@ class MeshAligner:
         check two lanes' merged scores against the vectorized numpy oracle on
         the full reference — the chunk decomposition guarantees the global SW
         maximum survives the pmax merge, so the scores must be equal."""
-        from ..ops.oracle import sw_score_fast
+        from ..ops.oracle import sw_affine_score_fast, sw_score_fast
 
+        fast = sw_affine_score_fast if self.cfg.is_affine else sw_score_fast
         for lane in {0, len(xb) - 1}:
-            want = sw_score_fast(xb[lane], ref_b, self.cfg)[0]
+            want = fast(xb[lane], ref_b, self.cfg)[0]
             got = int(out["score"][lane])
             if got != want:
                 raise RuntimeError(

@@ -176,15 +176,20 @@ def test_mesh_affine_scan(rng):
         assert int(out["score"][k]) == int(score)
 
 
-def test_mesh_rejects_affine_pallas():
+def test_mesh_affine_pallas_matches_scan(rng):
+    """Affine mesh compute on the Pallas path (interpret mode on CPU) ==
+    the scan path, same sharded geometry."""
     from parallel_genomeseq_tpu.parallel.mesh import MeshAligner, make_mesh
     from parallel_genomeseq_tpu.utils.config import ChunkConfig
 
     mesh = make_mesh(4, chunk=2)
-    with pytest.raises(ValueError, match="affine"):
-        MeshAligner(
-            mesh=mesh, cfg=AFF, chunk_cfg=ChunkConfig(npiece=2), engine="pallas"
-        )
+    ref = random_dna(rng, 320)
+    reads = [ref[20:70], ref[200:250], ref[100:150], ref[250:300]]
+    kw = dict(mesh=mesh, cfg=AFF, chunk_cfg=ChunkConfig(npiece=2, overlap_ratio=2.0))
+    got = MeshAligner(engine="pallas", **kw).score_reads(reads, ref)
+    want = MeshAligner(engine="scan", **kw).score_reads(reads, ref)
+    for k in ("score", "i", "j", "piece"):
+        np.testing.assert_array_equal(got[k], want[k], k)
 
 
 def test_pallas_engine_accepts_uniform_affine():
