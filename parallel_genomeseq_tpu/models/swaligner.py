@@ -181,6 +181,20 @@ class BatchSWAligner:
                 except EnvelopeError:
                     res = self.engine.score_batch(xs, ys, m, n, emit_moves=True)
             else:
+                # General traceback path (affine, float, substitution
+                # matrices): the scan sweep materializes a (D, M, B) uint8
+                # move tensor. Guard the shapes where that cannot fit —
+                # only uniform linear-gap scoring has the checkpointed
+                # strip traceback that avoids it.
+                est = (M + N) * M * len(xb)
+                if est > 2 * 1024**3:
+                    raise ValueError(
+                        f"traceback at this shape needs a ~{est/1e9:.1f} GB "
+                        "move tensor (scan emit_moves); checkpointed strip "
+                        "traceback exists only for uniform linear-gap "
+                        "scoring — reduce the batch size or run with "
+                        "traceback=False"
+                    )
                 res = self.engine.score_batch(xs, ys, m, n, emit_moves=True)
         else:
             res = self.scorer.score_batch(xs, ys, m, n)

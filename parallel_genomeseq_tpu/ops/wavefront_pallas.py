@@ -692,6 +692,20 @@ def _kernel_strips_profile(prof_ref, y_ref, best_ref, bestd_ref,
                  nblk=nblk, gap=gap, slot=slot)
 
 
+def _kernel_strips_affine(x_ref, y_ref, best_ref, bestd_ref,
+                          lastrow_ref, flastrow_ref, *, nblk: int,
+                          match: int, mismatch: int, gap: int, gopen: int,
+                          slot: int = 0):
+    """Affine-gap strip kernel: long reads (> MAX_M) with open/extend gaps
+    stay on the Pallas fast path (score + argmax; affine traceback beyond
+    MAX_M is not supported — the checkpointed strip traceback is linear-gap
+    only)."""
+    sow, shape = _uniform_sow(x_ref, match, mismatch, slot)
+    _strips_body(sow, shape, y_ref, best_ref, bestd_ref, None, lastrow_ref,
+                 nblk=nblk, gap=gap, slot=slot, gopen=gopen,
+                 flastrow_ref=flastrow_ref)
+
+
 def _kernel_strips_ckpt(x_ref, y_ref, best_ref, bestd_ref, rows_ref,
                         lastrow_ref, *, nblk: int, match: int, mismatch: int,
                         gap: int, slot: int = 0):
@@ -706,7 +720,8 @@ def _kernel_strips_ckpt(x_ref, y_ref, best_ref, bestd_ref, rows_ref,
 
 
 def _strips_body(score_of_window, shape, y_ref, best_ref, bestd_ref, rows_ref,
-                 lastrow_ref, *, nblk: int, gap: int, slot: int = 0):
+                 lastrow_ref, *, nblk: int, gap: int, slot: int = 0,
+                 gopen: int = 0, flastrow_ref=None):
     """One strip of the blocked wavefront.
 
     Per local step d' (diagonal within the strip), the row-0 north/north-west
@@ -719,24 +734,47 @@ def _strips_body(score_of_window, shape, y_ref, best_ref, bestd_ref, rows_ref,
     slot > 0 enables the packed argmax (see _make_body): carries run
     slot-scaled, the int16 boundary rows stay unscaled (scaled on load,
     divided back on store — exact, every carried value is a slot multiple).
+
+    gopen > 0 selects the affine (Gotoh) recurrence. E (west gap runs) is
+    row-internal, so it never crosses a strip edge and needs no boundary
+    state; F (north gap runs) crosses rows, so a second boundary row
+    ``flastrow_ref`` hands each strip the previous strip's last-row F values
+    with the same staging/indexing as H. F is bounded below by
+    -(gopen + gap) (H >= 0), so it fits the int16 boundary rows whenever H
+    does.
     """
     S, B = shape
     s_idx = pl.program_id(1)
-    gp = gap * (slot or 1)
+    sl = slot or 1
+    gp = gap * sl
+    go = gopen * sl
+    affine = gopen > 0
 
     @pl.when(s_idx == 0)
     def _():
         lastrow_ref[:] = jnp.zeros_like(lastrow_ref)
+        if affine:
+            # Row-0 boundary: F(0, j) is "no run" — anything <= -gopen works
+            # (max(H(0,j) - go, F0) then picks the open branch exactly).
+            flastrow_ref[:] = jnp.full_like(flastrow_ref, -(gopen + gap + 1))
 
     zeros = jnp.zeros((S, B), jnp.int32)
 
     def outer(o, carry):
-        h1, s2, best, bestd, ywin, stage = carry
+        if affine:
+            h1, s2, e1, f1, best, bestd, ywin, stage, fstage = carry
+        else:
+            h1, s2, best, bestd, ywin, stage = carry
+            e1 = f1 = fstage = None
         base = pl.multiple_of(o * UNROLL, UNROLL)
         blk = y_ref[pl.ds(base, UNROLL), :].astype(jnp.int32)
         rblk = lastrow_ref[pl.ds(base, 2 * UNROLL), :].astype(jnp.int32)
         if slot:
             rblk = rblk * slot
+        if affine:
+            frblk = flastrow_ref[pl.ds(base, 2 * UNROLL), :].astype(jnp.int32)
+            if slot:
+                frblk = frblk * slot
         for k in range(UNROLL):
             d = o * UNROLL + k
             yc = blk[k : k + 1, :]
@@ -745,9 +783,18 @@ def _strips_body(score_of_window, shape, y_ref, best_ref, bestd_ref, rows_ref,
             # Boundary insert: lastrow[j = d + 1] at p = j + STRIP_PADW.
             north0 = rblk[k + STRIP_PADW + 1 : k + STRIP_PADW + 2, :]
             s1 = _shift_down(h1, north0)
-            hd = jnp.maximum(
-                jnp.maximum(s2 + sc, jnp.maximum(h1, s1) - gp), 0
-            )
+            if affine:
+                fnorth0 = frblk[k + STRIP_PADW + 1 : k + STRIP_PADW + 2, :]
+                f1s = _shift_down(f1, fnorth0)
+                e_d = jnp.maximum(h1 - go, e1) - gp
+                f_d = jnp.maximum(s1 - go, f1s) - gp
+                hd = jnp.maximum(
+                    jnp.maximum(s2 + sc, e_d), jnp.maximum(f_d, 0)
+                )
+            else:
+                hd = jnp.maximum(
+                    jnp.maximum(s2 + sc, jnp.maximum(h1, s1) - gp), 0
+                )
             if slot:
                 best = jnp.maximum(best, hd + (slot - 1 - d))
             else:
@@ -756,11 +803,12 @@ def _strips_body(score_of_window, shape, y_ref, best_ref, bestd_ref, rows_ref,
                 bestd = jnp.where(upd, d, bestd)
             # Stage this step's strip-last-row cell (j = d - S + 2) — a
             # static row slice, not a masked (S, B) reduction.
-            lastcell = hd[S - 1 : S, :]
-            stage = jnp.where(
-                jax.lax.broadcasted_iota(jnp.int32, (UNROLL, B), 0) == k,
-                lastcell, stage,
-            )
+            krow = jax.lax.broadcasted_iota(jnp.int32, (UNROLL, B), 0) == k
+            stage = jnp.where(krow, hd[S - 1 : S, :], stage)
+            if affine:
+                fstage = jnp.where(krow, f_d[S - 1 : S, :], fstage)
+                e1 = e_d
+                f1 = f_d
             s2 = s1
             h1 = hd
         # Store the staged 8 rows: j in [o*8 - S + 2, o*8 - S + 9] at
@@ -773,13 +821,27 @@ def _strips_body(score_of_window, shape, y_ref, best_ref, bestd_ref, rows_ref,
             lastrow_ref[pl.ds(pl.multiple_of(p0, UNROLL), UNROLL), :] = (
                 st.astype(lastrow_ref.dtype)
             )
+            if affine:
+                fst = fstage // slot if slot else fstage
+                flastrow_ref[pl.ds(pl.multiple_of(p0, UNROLL), UNROLL), :] = (
+                    fst.astype(flastrow_ref.dtype)
+                )
 
+        if affine:
+            return h1, s2, e1, f1, best, bestd, ywin, stage, fstage
         return h1, s2, best, bestd, ywin, stage
 
     stage0 = jnp.zeros((UNROLL, B), jnp.int32)
-    _, _, best, bestd, _, _ = jax.lax.fori_loop(
-        0, nblk, outer, (zeros, zeros, zeros, zeros, zeros, stage0)
-    )
+    if affine:
+        init = (
+            zeros, zeros, zeros, zeros, zeros, zeros, zeros, stage0, stage0,
+        )
+        out = jax.lax.fori_loop(0, nblk, outer, init)
+        best, bestd = out[4], out[5]
+    else:
+        _, _, best, bestd, _, _ = jax.lax.fori_loop(
+            0, nblk, outer, (zeros, zeros, zeros, zeros, zeros, stage0)
+        )
     if slot:
         best_ref[:] = best // slot
         bestd_ref[:] = (slot - 1) - (best % slot)
@@ -826,6 +888,49 @@ def _call_strips(xs, ys, *, match, mismatch, gap, interpret):
         scratch_shapes=[pltpu.VMEM((Nlr, LANE), jnp.int16)],
         cost_estimate=pl.CostEstimate(
             flops=16 * (M // S) * (S + Ny) * S * B,
+            bytes_accessed=M * B * 16, transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xs, ys)
+    return best, bestd
+
+
+@functools.partial(
+    jax.jit, static_argnames=("match", "mismatch", "gap", "gopen", "interpret")
+)
+def _call_strips_affine(xs, ys, *, match, mismatch, gap, gopen, interpret):
+    M, B = xs.shape
+    Ny = ys.shape[0]
+    S = STRIP_S
+    nstrips = M // S
+    nblk = Ny // UNROLL
+    slot = _pick_slot(nblk * UNROLL, INT16_BOUND)
+    kernel = functools.partial(
+        _kernel_strips_affine, nblk=nblk, match=match, mismatch=mismatch,
+        gap=gap, gopen=gopen, slot=slot,
+    )
+    Nlr = Ny + 4 * UNROLL
+    best, bestd = pl.pallas_call(
+        kernel,
+        grid=(B // LANE, nstrips),
+        in_specs=[
+            pl.BlockSpec((S, LANE), lambda b, s: (s, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ny, LANE), lambda b, s: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((S, LANE), lambda b, s: (s, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, LANE), lambda b, s: (s, b), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, B), jnp.int32),
+            jax.ShapeDtypeStruct((M, B), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Nlr, LANE), jnp.int16),  # H boundary rows
+            pltpu.VMEM((Nlr, LANE), jnp.int16),  # F boundary rows
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=22 * (M // S) * (S + Ny) * S * B,
             bytes_accessed=M * B * 16, transcendentals=0,
         ),
         interpret=interpret,
@@ -1088,7 +1193,7 @@ class PallasEngine:
         # Per-kernel-family miscompile gates; interpret mode is trusted.
         self._checked = (
             {"uniform", "profile", "strips", "strips_profile", "moves",
-             "affine", "affine_profile"}
+             "affine", "affine_profile", "strips_affine"}
             if interpret else set()
         )
         from ..utils.platform import setup_cache
@@ -1156,7 +1261,10 @@ class PallasEngine:
         res = self.score_prepared(prep, need_pos=need_pos)
         uni = self.cfg.is_uniform
         if prep["strips"]:
-            path = "strips" if uni else "strips_profile"
+            if self.cfg.is_affine:
+                path = "strips_affine"
+            else:
+                path = "strips" if uni else "strips_profile"
         elif self.cfg.is_affine:
             path = "affine" if uni else "affine_profile"
         else:
@@ -1291,10 +1399,11 @@ class PallasEngine:
         B0, M0 = x_bm.shape
         N0 = y_bn.shape[1]
         strips = M0 > MAX_M
-        if strips and self.cfg.is_affine:
+        if strips and self.cfg.is_affine and not self.cfg.is_uniform:
             raise EnvelopeError(
-                "no affine-gap strip kernel: reads longer than "
-                f"{MAX_M} bp with gap_open need the scan engine"
+                "no affine-gap substitution-matrix strip kernel: queries "
+                f"longer than {MAX_M} with gap_open and a matrix need the "
+                "scan engine"
             )
         if strips:
             # Only the uniform kernel's boundary rows are int16 (the profile
@@ -1346,7 +1455,14 @@ class PallasEngine:
         args = prep["args"]
         B0 = prep["B0"]
         if prep.get("strips"):
-            if self.cfg.is_uniform:
+            if self.cfg.is_uniform and self.cfg.is_affine:
+                best, bestd = _call_strips_affine(
+                    *args,
+                    match=int(self.cfg.match), mismatch=int(self.cfg.mismatch),
+                    gap=int(self.cfg.gap_penalty), gopen=int(self.cfg.gap_open),
+                    interpret=self.interpret,
+                )
+            elif self.cfg.is_uniform:
                 best, bestd = _call_strips(
                     *args,
                     match=int(self.cfg.match), mismatch=int(self.cfg.mismatch),

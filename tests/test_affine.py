@@ -251,14 +251,18 @@ def test_pallas_affine_score_only(rng):
     assert list(np.asarray(res["score"])) == [180, 180]
 
 
-def test_pallas_affine_rejects_strips():
-    """Strip-length reads have no affine kernel: EnvelopeError (callers with
-    a fallback catch exactly this and rerun on the scan engine)."""
+def test_pallas_affine_matrix_rejects_strips():
+    """Affine + substitution matrix on strip-length queries has no kernel:
+    EnvelopeError (callers with a fallback catch exactly this and rerun on
+    the scan engine). Uniform affine strips ARE supported — covered by
+    tests/test_strips.py::test_strips_affine_vs_scan."""
+    from parallel_genomeseq_tpu.ops.substitution import blosum_config
     from parallel_genomeseq_tpu.ops.wavefront_pallas import (
         EnvelopeError, MAX_M, PallasEngine,
     )
 
-    pe = PallasEngine(AFF, interpret=True)
+    cfg = blosum_config("blosum50", gap_penalty=2.0, gap_open=10.0)
+    pe = PallasEngine(cfg, interpret=True)
     big = np.ones((1, MAX_M + 8), np.uint8)
     with pytest.raises(EnvelopeError, match="affine"):
         pe.score_batch(big, np.ones((1, 64), np.uint8),

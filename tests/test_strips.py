@@ -133,3 +133,31 @@ def test_strips_rejects_unsupported():
         # match * read_len beyond the int16 boundary-row bound
         PallasEngine(ScoringConfig(match=100.0, mismatch=-3.0, gap_penalty=2.0)) \
             .score_batch(xs, ys, np.array([m]), np.array([64]))
+
+
+def test_strips_affine_vs_scan(rng):
+    """Affine (Gotoh) strip kernel: long uniform-scoring reads with
+    open/extend gaps stay on Pallas — differential vs the scan affine
+    engine, including a planted read with a deletion (F run crossing
+    strip rows is exercised by the containment lane)."""
+    from parallel_genomeseq_tpu.utils.config import ScoringConfig
+
+    cfg = ScoringConfig(match=3.0, mismatch=-3.0, gap_penalty=1.0, gap_open=4.0)
+    B, m, n = 3, MAX_M + 52, 400
+    ref = rng.choice(DNA, size=n)
+    xs = rng.choice(DNA, size=(B, m)).astype(np.uint8)
+    ys = np.broadcast_to(ref[None, :], (B, n)).copy()
+    xs[0, 700 : 700 + n] = ref  # planted containment
+    # lane 1: planted segment with a 3-bp deletion -> one affine gap run
+    seg = np.concatenate([ref[50:150], ref[153:250]])
+    xs[1, 300 : 300 + len(seg)] = seg
+    mm = np.full(B, m)
+    nn = np.full(B, n)
+    got = PallasEngine(cfg).score_batch(xs, ys, mm, nn)
+    want = ScanEngine(cfg).score_batch(xs, ys, mm, nn)
+    for k in ("score", "i", "j"):
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]), k)
+    assert int(np.asarray(got["score"])[0]) == 3 * n
+    # deletion lane: at least the planted segment minus one opened 3-long
+    # gap (random flanking bases can extend the local alignment further)
+    assert int(np.asarray(got["score"])[1]) >= 3 * len(seg) - (4 + 3 * 1)
