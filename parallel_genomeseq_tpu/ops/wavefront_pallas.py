@@ -706,6 +706,20 @@ def _kernel_strips_affine(x_ref, y_ref, best_ref, bestd_ref,
                  flastrow_ref=flastrow_ref)
 
 
+def _kernel_strips_profile_affine(prof_ref, y_ref, best_ref, bestd_ref,
+                                  lastrow_ref, flastrow_ref, *, nblk: int,
+                                  alphabet: Tuple[int, ...], worst: int,
+                                  gap: int, gopen: int, slot: int = 0):
+    """Affine + substitution-matrix strip kernel: titin-class protein
+    queries with open/extend gaps stay on the Pallas fast path. Profile
+    scoring of _kernel_strips_profile + the dual H/F int32 boundary rows of
+    _kernel_strips_affine."""
+    sow, shape = _profile_sow(prof_ref, alphabet, worst, slot)
+    _strips_body(sow, shape, y_ref, best_ref, bestd_ref, None, lastrow_ref,
+                 nblk=nblk, gap=gap, slot=slot, gopen=gopen,
+                 flastrow_ref=flastrow_ref)
+
+
 def _kernel_strips_ckpt(x_ref, y_ref, best_ref, bestd_ref, rows_ref,
                         lastrow_ref, *, nblk: int, match: int, mismatch: int,
                         gap: int, slot: int = 0):
@@ -982,6 +996,55 @@ def _call_strips_profile(prof, ys, *, alphabet, worst, best_sub, gap, interpret)
     return best, bestd
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("alphabet", "worst", "best_sub", "gap", "gopen", "interpret"),
+)
+def _call_strips_profile_affine(prof, ys, *, alphabet, worst, best_sub, gap,
+                                gopen, interpret):
+    A, M, B = prof.shape
+    Ny = ys.shape[0]
+    S = STRIP_S
+    nstrips = M // S
+    nblk = Ny // UNROLL
+    # slot=0: packed argmax would materialize a second slot-scaled profile
+    # copy in VMEM; with the affine kernel's extra F scratch + E/F carries
+    # that tips this kernel over (observed as a TPU worker crash at first
+    # execution). The compare-based argmax costs ~2 extra ops/cell instead.
+    slot = 0
+    kernel = functools.partial(
+        _kernel_strips_profile_affine, nblk=nblk, alphabet=alphabet,
+        worst=worst, gap=gap, gopen=gopen, slot=slot,
+    )
+    Nlr = Ny + 4 * UNROLL
+    best, bestd = pl.pallas_call(
+        kernel,
+        grid=(B // LANE, nstrips),
+        in_specs=[
+            pl.BlockSpec((A, S, LANE), lambda b, s: (0, s, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ny, LANE), lambda b, s: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((S, LANE), lambda b, s: (s, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, LANE), lambda b, s: (s, b), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, B), jnp.int32),
+            jax.ShapeDtypeStruct((M, B), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Nlr, LANE), jnp.int32),  # H boundary rows
+            pltpu.VMEM((Nlr, LANE), jnp.int32),  # F boundary rows
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=(22 + A) * (M // S) * (S + Ny) * S * B,
+            bytes_accessed=M * B * 16 * A, transcendentals=0,
+        ),
+        interpret=interpret,
+    )(prof, ys)
+    return best, bestd
+
+
 @functools.partial(jax.jit, static_argnames=("match", "mismatch", "gap", "interpret"))
 def _call_strips_ckpt(xs, ys, *, match, mismatch, gap, interpret):
     """Strip scoring pass that also returns the (nstrips, Nlr, B) int16
@@ -1193,7 +1256,8 @@ class PallasEngine:
         # Per-kernel-family miscompile gates; interpret mode is trusted.
         self._checked = (
             {"uniform", "profile", "strips", "strips_profile", "moves",
-             "affine", "affine_profile", "strips_affine"}
+             "affine", "affine_profile", "strips_affine",
+             "strips_profile_affine"}
             if interpret else set()
         )
         from ..utils.platform import setup_cache
@@ -1262,7 +1326,7 @@ class PallasEngine:
         uni = self.cfg.is_uniform
         if prep["strips"]:
             if self.cfg.is_affine:
-                path = "strips_affine"
+                path = "strips_affine" if uni else "strips_profile_affine"
             else:
                 path = "strips" if uni else "strips_profile"
         elif self.cfg.is_affine:
@@ -1399,11 +1463,21 @@ class PallasEngine:
         B0, M0 = x_bm.shape
         N0 = y_bn.shape[1]
         strips = M0 > MAX_M
-        if strips and self.cfg.is_affine and not self.cfg.is_uniform:
+        if strips and self.cfg.is_affine and not self.cfg.is_uniform \
+                and not self.interpret:
+            # MEASURED DEAD END on this rig's v5e: _kernel_strips_profile_affine
+            # compiles but the TPU worker crashes at first execution
+            # ("UNAVAILABLE: TPU worker process crashed ... kernel fault"),
+            # reproducibly, with and without slot packing — suspected VMEM
+            # overrun from the (A, S, LANE) profile blocks plus the affine
+            # F scratch and E/F carries (~16 MB/core budget; the linear
+            # profile strip kernel and the uniform affine strip kernel each
+            # run fine). The kernel is interpret-verified and tested; on
+            # hardware this envelope falls back to the scan engine.
             raise EnvelopeError(
-                "no affine-gap substitution-matrix strip kernel: queries "
-                f"longer than {MAX_M} with gap_open and a matrix need the "
-                "scan engine"
+                "affine substitution-matrix strip kernel crashes the TPU "
+                f"worker (VMEM pressure); queries > {MAX_M} aa with "
+                "gap_open and a matrix run on the scan engine"
             )
         if strips:
             # Only the uniform kernel's boundary rows are int16 (the profile
@@ -1467,6 +1541,15 @@ class PallasEngine:
                     *args,
                     match=int(self.cfg.match), mismatch=int(self.cfg.mismatch),
                     gap=int(self.cfg.gap_penalty), interpret=self.interpret,
+                )
+            elif self.cfg.is_affine:
+                S = np.asarray(self.cfg.matrix).astype(np.int32)
+                best, bestd = _call_strips_profile_affine(
+                    *args,
+                    alphabet=tuple(self.cfg.alphabet.encode("ascii")),
+                    worst=int(S.min()), best_sub=int(S.max()),
+                    gap=int(self.cfg.gap_penalty), gopen=int(self.cfg.gap_open),
+                    interpret=self.interpret,
                 )
             else:
                 S = np.asarray(self.cfg.matrix).astype(np.int32)

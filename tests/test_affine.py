@@ -251,22 +251,32 @@ def test_pallas_affine_score_only(rng):
     assert list(np.asarray(res["score"])) == [180, 180]
 
 
-def test_pallas_affine_matrix_rejects_strips():
-    """Affine + substitution matrix on strip-length queries has no kernel:
-    EnvelopeError (callers with a fallback catch exactly this and rerun on
-    the scan engine). Uniform affine strips ARE supported — covered by
-    tests/test_strips.py::test_strips_affine_vs_scan."""
+def test_pallas_affine_matrix_strips_matches_scan(rng):
+    """Titin-class affine protein queries (> 2048 aa, BLOSUM + open/extend)
+    stay on the Pallas strip path and match the scan affine engine exactly.
+    (Uniform affine strips: tests/test_strips.py::test_strips_affine_vs_scan.)"""
     from parallel_genomeseq_tpu.ops.substitution import blosum_config
-    from parallel_genomeseq_tpu.ops.wavefront_pallas import (
-        EnvelopeError, MAX_M, PallasEngine,
-    )
+    from parallel_genomeseq_tpu.ops.wavefront_pallas import MAX_M, PallasEngine
 
     cfg = blosum_config("blosum50", gap_penalty=2.0, gap_open=10.0)
-    pe = PallasEngine(cfg, interpret=True)
-    big = np.ones((1, MAX_M + 8), np.uint8)
-    with pytest.raises(EnvelopeError, match="affine"):
-        pe.score_batch(big, np.ones((1, 64), np.uint8),
-                       np.array([MAX_M + 8]), np.array([64]))
+    alpha = np.frombuffer(cfg.alphabet.encode(), np.uint8)
+    B, m = 2, MAX_M + 256  # 2304 aa query
+    n = np.array([420, 300])
+    N = int(n.max())
+    xs = rng.choice(alpha, size=(B, m)).astype(np.uint8)
+    ys = np.full((B, N), 2, np.uint8)
+    for b in range(B):
+        ys[b, : n[b]] = rng.choice(alpha, size=n[b])
+    # planted region with a 3-residue deletion -> one affine gap run
+    ys[0, 100:397] = np.concatenate(
+        [xs[0, 1000:1150], xs[0, 1153:1300]]
+    )
+    mm = np.full(B, m)
+    got = PallasEngine(cfg).score_batch(xs, ys, mm, n)
+    want = ScanEngine(cfg).score_batch(xs, ys, mm, n)
+    for k in ("score", "i", "j"):
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]), k)
+    assert int(np.asarray(got["score"])[0]) > 800  # planted region found
 
 
 def test_pallas_profile_affine_matches_scan(rng):
