@@ -621,6 +621,7 @@ def _call_profile(prof, ys, *, alphabet, worst, best_sub, gap, interpret):
 # ---------------------------------------------------------------------------
 
 STRIP_S = 256  # rows per strip (multiple of 8)
+STRIP_S_PA = 128  # half-height strips for the VMEM-heavy profile-affine kernel
 STRIP_PADW = (STRIP_S - 2) % 8  # write offset making boundary stores aligned
 INT16_BOUND = 32000
 NARROW_BOUND = 30000  # int16 kernel: max score (match*M) and max diagonal index
@@ -763,6 +764,9 @@ def _strips_body(score_of_window, shape, y_ref, best_ref, bestd_ref, rows_ref,
     gp = gap * sl
     go = gopen * sl
     affine = gopen > 0
+    # Strip height comes from the block shape; the boundary-store write
+    # offset keeps stores UNROLL-aligned for any S that is a multiple of 8.
+    padw = (S - 2) % 8
 
     @pl.when(s_idx == 0)
     def _():
@@ -794,11 +798,11 @@ def _strips_body(score_of_window, shape, y_ref, best_ref, bestd_ref, rows_ref,
             yc = blk[k : k + 1, :]
             ywin = _shift_down(ywin, yc)
             sc = score_of_window(ywin)
-            # Boundary insert: lastrow[j = d + 1] at p = j + STRIP_PADW.
-            north0 = rblk[k + STRIP_PADW + 1 : k + STRIP_PADW + 2, :]
+            # Boundary insert: lastrow[j = d + 1] at p = j + padw.
+            north0 = rblk[k + padw + 1 : k + padw + 2, :]
             s1 = _shift_down(h1, north0)
             if affine:
-                fnorth0 = frblk[k + STRIP_PADW + 1 : k + STRIP_PADW + 2, :]
+                fnorth0 = frblk[k + padw + 1 : k + padw + 2, :]
                 f1s = _shift_down(f1, fnorth0)
                 e_d = jnp.maximum(h1 - go, e1) - gp
                 f_d = jnp.maximum(s1 - go, f1s) - gp
@@ -826,8 +830,8 @@ def _strips_body(score_of_window, shape, y_ref, best_ref, bestd_ref, rows_ref,
             s2 = s1
             h1 = hd
         # Store the staged 8 rows: j in [o*8 - S + 2, o*8 - S + 9] at
-        # p = j + STRIP_PADW, aligned by construction of STRIP_PADW.
-        p0 = o * UNROLL - STRIP_S + 2 + STRIP_PADW
+        # p = j + padw, aligned by construction of padw.
+        p0 = o * UNROLL - S + 2 + padw
 
         @pl.when(p0 >= 0)
         def _():
@@ -1004,13 +1008,15 @@ def _call_strips_profile_affine(prof, ys, *, alphabet, worst, best_sub, gap,
                                 gopen, interpret):
     A, M, B = prof.shape
     Ny = ys.shape[0]
-    S = STRIP_S
+    # Half-height strips: the (A, S, LANE) profile blocks plus the affine
+    # F scratch and E/F carries overran VMEM at S=256 (TPU worker crash at
+    # first execution, reproducible); S=128 halves every per-strip buffer.
+    S = STRIP_S_PA
     nstrips = M // S
     nblk = Ny // UNROLL
     # slot=0: packed argmax would materialize a second slot-scaled profile
-    # copy in VMEM; with the affine kernel's extra F scratch + E/F carries
-    # that tips this kernel over (observed as a TPU worker crash at first
-    # execution). The compare-based argmax costs ~2 extra ops/cell instead.
+    # copy in VMEM (see above). The compare-based argmax costs ~2 extra
+    # ops/cell instead.
     slot = 0
     kernel = functools.partial(
         _kernel_strips_profile_affine, nblk=nblk, alphabet=alphabet,
@@ -1166,14 +1172,14 @@ def _call_strip_moves(x_strip, ys, rowin, *, match, mismatch, gap, interpret):
     return moves
 
 
-@jax.jit
-def _reduce_best_strips(best, bestd, m, n):
+@functools.partial(jax.jit, static_argnames=("strip_s",))
+def _reduce_best_strips(best, bestd, m, n, *, strip_s: int = STRIP_S):
     """Per-lane (score, i, j) from strip-local diagonal indices: cell at
-    global row r has i = r + 1, j = bestd - (r % STRIP_S) + 1. Tie-break
+    global row r has i = r + 1, j = bestd - (r % strip_s) + 1. Tie-break
     matches _reduce_best: min j, then min i."""
     M, B = best.shape
     rr = jax.lax.broadcasted_iota(jnp.int32, (M, B), 0)
-    jj = bestd - (rr % STRIP_S) + 1
+    jj = bestd - (rr % strip_s) + 1
     score = jnp.max(best, axis=0)
     key = jj * (M + 2) + rr + 1
     key = jnp.where(best == score[None, :], key, _INT32_MAX)
@@ -1463,22 +1469,6 @@ class PallasEngine:
         B0, M0 = x_bm.shape
         N0 = y_bn.shape[1]
         strips = M0 > MAX_M
-        if strips and self.cfg.is_affine and not self.cfg.is_uniform \
-                and not self.interpret:
-            # MEASURED DEAD END on this rig's v5e: _kernel_strips_profile_affine
-            # compiles but the TPU worker crashes at first execution
-            # ("UNAVAILABLE: TPU worker process crashed ... kernel fault"),
-            # reproducibly, with and without slot packing — suspected VMEM
-            # overrun from the (A, S, LANE) profile blocks plus the affine
-            # F scratch and E/F carries (~16 MB/core budget; the linear
-            # profile strip kernel and the uniform affine strip kernel each
-            # run fine). The kernel is interpret-verified and tested; on
-            # hardware this envelope falls back to the scan engine.
-            raise EnvelopeError(
-                "affine substitution-matrix strip kernel crashes the TPU "
-                f"worker (VMEM pressure); queries > {MAX_M} aa with "
-                "gap_open and a matrix run on the scan engine"
-            )
         if strips:
             # Only the uniform kernel's boundary rows are int16 (the profile
             # strip kernel carries int32 rows, no score bound).
@@ -1560,7 +1550,14 @@ class PallasEngine:
                     gap=int(self.cfg.gap_penalty),
                     interpret=self.interpret,
                 )
-            score, i, j = _reduce_best_strips(best, bestd, None, None)
+            strip_s = (
+                STRIP_S_PA
+                if (self.cfg.is_affine and not self.cfg.is_uniform)
+                else STRIP_S
+            )
+            score, i, j = _reduce_best_strips(
+                best, bestd, None, None, strip_s=strip_s
+            )
             return {"score": score[:B0], "i": i[:B0], "j": j[:B0]}
         if self.cfg.is_affine and self.cfg.is_uniform:
             best, bestd = _call_uniform_affine(
