@@ -92,6 +92,12 @@ def main(argv=None):
     p.add_argument("--num-processes", type=int, default=1)
     p.add_argument("--process-id", type=int, default=0)
     p.add_argument(
+        "--score-only", action="store_true",
+        help="skip the winner-window traceback and emit the DP argmax "
+        "column pos_end instead of pos_pred (faster; diverges from the "
+        "reference writer's schema)",
+    )
+    p.add_argument(
         "--merge-timeout", type=float, default=600.0,
         help="seconds the writer waits for all shards before failing",
     )
@@ -128,6 +134,28 @@ def main(argv=None):
     )
     out = aligner.score_reads(local_reads, ref)
 
+    if args.score_only:
+        header = "index,SEQ,pos_end,score\n"
+        rows = [
+            f"{offset + k},{read},{int(out['j'][k])},{int(out['score'][k])}\n"
+            for k, read in enumerate(local_reads)
+        ]
+    else:
+        # The reference's MPI workers run the FULL aligner — score AND
+        # traceback — per read, and the writer rank emits pos_pred
+        # (src/mpi_sw_solve_small.cpp:126-186). TPU equivalent: each process
+        # re-runs a traceback aligner on its reads' winning windows only
+        # (the chunking winner-re-run trick, plocalaligner.cpp:132-141),
+        # then offsets pos back to global 1-based reference coordinates.
+        pos_pred = _winner_traceback(
+            local_reads, ref, out["piece"], args, batch=args.batch_size
+        )
+        header = "index,SEQ,pos_pred,score\n"
+        rows = [
+            f"{offset + k},{read},{pos_pred[k]},{int(out['score'][k])}\n"
+            for k, read in enumerate(local_reads)
+        ]
+
     # Process 0 is the writer (the reference's rank size-1 writer pattern,
     # src/mpi_sw_solve_small.cpp:148-186): every process writes its shard
     # atomically (tmp + rename), then process 0 waits for ALL shards before
@@ -138,9 +166,8 @@ def main(argv=None):
     os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
     shard_path = f"{args.output}.part{args.process_id}"
     with open(shard_path + ".tmp", "w") as f:
-        f.write("index,SEQ,pos_end,score\n")
-        for k, read in enumerate(local_reads):
-            f.write(f"{offset + k},{read},{int(out['j'][k])},{int(out['score'][k])}\n")
+        f.write(header)
+        f.writelines(rows)
     os.replace(shard_path + ".tmp", shard_path)
     print(f"wrote shard {shard_path}")
 
@@ -159,13 +186,55 @@ def main(argv=None):
                 return 1
             time.sleep(0.05)
         with open(args.output, "w") as f:
-            f.write("index,SEQ,pos_end,score\n")
+            f.write(header)
             for part in parts:
                 with open(part) as pf:
                     next(pf)
                     f.write(pf.read())
         print(f"Done, output file see: {args.output}")
     return 0
+
+
+def _winner_traceback(reads, ref, pieces, args, batch=128):
+    """Per-read traceback on the winning window, in global coordinates.
+
+    Mirrors ChunkedAligner._submit_winner (parallel/chunking.py:177-210)
+    but takes the winner from the mesh merge's ``piece`` output. The window
+    geometry must match MeshAligner.score_reads: one shared range set built
+    from the LONGEST local read (mesh.py:275-278). Batches are pipelined
+    depth-2 through the submit/collect split to hide device round trips.
+    """
+    from collections import deque
+
+    from ..models.swaligner import BatchSWAligner
+    from ..parallel.chunking import make_string_ranges
+
+    if not reads:
+        return []
+    ranges = make_string_ranges(
+        args.npiece, max(len(r) for r in reads), len(ref), args.overlap_ratio
+    )
+    # Mesh padding can report a pad-window id for all-zero-score reads;
+    # clamp to the real windows (window 0 starts at ref[0], same result).
+    win = [min(max(int(p), 0), len(ranges) - 1) for p in pieces]
+    aligner = BatchSWAligner()
+    q = deque()
+    pos = []
+
+    def _drain(pending, lefts):
+        for r, res in zip(lefts, aligner.collect(pending)):
+            pos.append((res.pos + r) if res.pos > 0 else 0)
+
+    for k in range(0, len(reads), batch):
+        chunk = reads[k : k + batch]
+        lefts = [ranges[w][0] for w in win[k : k + batch]]
+        refs = [ref[ranges[w][0] : ranges[w][1]] for w in win[k : k + batch]]
+        q.append((aligner.submit_batch(chunk, refs), lefts))
+        if len(q) > 2:
+            _drain(*q.popleft())
+    while q:
+        _drain(*q.popleft())
+    return pos
 
 
 def _barrier(name: str, timeout_s: float):

@@ -83,9 +83,14 @@ def main(argv=None):
         inner = stream
 
         def stream(batches):  # noqa: F811 — intentional wrap
-            bl = [list(b) for b in batches]
-            doubled = (b + [revcomp(r) for r in b] for b in bl)
-            for b, res in zip(bl, inner(doubled)):
+            # itertools.tee keeps only the batches between dispatch and
+            # collect alive (the inner stream's pipeline depth), preserving
+            # align_stream's bounded host memory and lazy input generators.
+            import itertools
+
+            b1, b2 = itertools.tee(list(b) for b in batches)
+            doubled = (b + [revcomp(r) for r in b] for b in b1)
+            for b, res in zip(b2, inner(doubled)):
                 yield merge_strand_pairs(res[: len(b)], res[len(b) :])
 
     # Batches are pipelined: align_stream keeps a few batches dispatched

@@ -28,6 +28,7 @@ import numpy as np
 
 from ..models.swaligner import make_score_engine
 from ..ops.substitution import blosum_config
+from ..ops.wavefront_pallas import EnvelopeError
 from ..seqio.native_io import read_fasta
 from ..seqio.uniprot import iter_database
 from ..utils.encoding import Y_PAD, batch_pad, to_bytes
@@ -164,7 +165,16 @@ def main(argv=None):
         ys = batch_pad(seqs, N, Y_PAD)
         xs = np.broadcast_to(qb[None, :], (len(idxs), len(qb))).copy()
         m = np.full(len(idxs), len(qb), np.int32)
-        res = engine.score_batch(xs, ys, m, n)
+        try:
+            res = engine.score_batch(xs, ys, m, n)
+        except EnvelopeError:
+            # Shapes outside the Pallas kernels' envelope (e.g. the gated
+            # affine+matrix strip kernel for >2048-aa queries) fall back to
+            # the scan wavefront permanently for this run.
+            from ..ops.scan_dp import ScanEngine
+
+            engine = ScanEngine(cfg)
+            res = engine.score_batch(xs, ys, m, n)
         pend.append((idxs, (res["score"], res["j"])))
         cells += len(qb) * int(n.sum())
         if len(pend) > DEPTH:

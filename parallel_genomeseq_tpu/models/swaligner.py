@@ -20,6 +20,7 @@ import numpy as np
 
 from ..ops.scan_dp import ScanEngine
 from ..ops.traceback import decode_consensus, walk_moves, walk_moves_affine
+from ..ops.wavefront_pallas import EnvelopeError
 from ..utils.config import ScoringConfig
 from ..utils.encoding import X_PAD, Y_PAD, batch_pad, to_bytes
 from ..utils.result import AlignResult, Timings
@@ -147,7 +148,7 @@ class BatchSWAligner:
         )
         max_steps = min(int(M + matchv * M / gapv) + 8, M + N + 1)
         if traceback:
-            from ..ops.wavefront_pallas import EnvelopeError, MAX_M, PallasEngine
+            from ..ops.wavefront_pallas import MAX_M, PallasEngine
 
             if (
                 isinstance(self.scorer, PallasEngine)
@@ -197,7 +198,13 @@ class BatchSWAligner:
                     )
                 res = self.engine.score_batch(xs, ys, m, n, emit_moves=True)
         else:
-            res = self.scorer.score_batch(xs, ys, m, n)
+            try:
+                res = self.scorer.score_batch(xs, ys, m, n)
+            except EnvelopeError:
+                # Outside the Pallas kernels' envelope (e.g. the gated
+                # affine+matrix strip path): the scan wavefront has no
+                # such limits.
+                res = self.engine.score_batch(xs, ys, m, n)
         detail = self.detail_timing or strip_res is not None
         if detail:
             # Force the score sweep's results so the two timing levels are

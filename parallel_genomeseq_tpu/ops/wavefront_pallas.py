@@ -1470,6 +1470,24 @@ class PallasEngine:
         N0 = y_bn.shape[1]
         strips = M0 > MAX_M
         if strips:
+            # HARDWARE GATE (do not remove without a recorded real-TPU run):
+            # the affine+substitution-matrix strip kernel crashes the v5e
+            # worker at first execution — reproduced at S=256 (round 2) AND
+            # at S=128 (round 3, benchmarks/probe_profile_affine_strips.py,
+            # 2026-08-19), so the "VMEM overrun, halve the strip" hypothesis
+            # is disproven (~5 MB VMEM at S=128). A worker crash is
+            # uncatchable by the first-batch oracle gate, so this envelope
+            # falls back to the scan engine instead.
+            if (
+                self.cfg.is_affine
+                and not self.cfg.is_uniform
+                and not self.interpret
+            ):
+                raise EnvelopeError(
+                    "the affine + substitution-matrix strip kernel faults "
+                    "the TPU worker (see wavefront_pallas.py gate note); "
+                    "strip-length matrix+gap_open queries use the scan engine"
+                )
             # Only the uniform kernel's boundary rows are int16 (the profile
             # strip kernel carries int32 rows, no score bound).
             if self.cfg.is_uniform and int(self.cfg.match) * M0 > INT16_BOUND:

@@ -308,6 +308,30 @@ def test_pallas_profile_affine_matches_scan(rng):
         )
 
 
+def test_profile_affine_strip_hardware_gate():
+    """The affine+matrix STRIP kernel faults the real v5e worker (reproduced
+    at S=256 and S=128, benchmarks/probe_profile_affine_strips.py); on
+    hardware (interpret=False) the envelope must refuse in prepare() so
+    callers fall back to scan instead of crashing the worker. Interpret
+    mode stays open (the kernel itself is interpret-verified)."""
+    import pytest
+
+    from parallel_genomeseq_tpu.ops.substitution import blosum_config
+    from parallel_genomeseq_tpu.ops.wavefront_pallas import (
+        EnvelopeError, MAX_M, PallasEngine,
+    )
+
+    cfg = blosum_config("blosum50", gap_penalty=2.0, gap_open=10.0)
+    M = MAX_M + 8
+    x = np.full((2, M), 65, np.uint8)
+    y = np.full((2, 256), 65, np.uint8)
+    m = np.full(2, M, np.int32)
+    n = np.full(2, 256, np.int32)
+    with pytest.raises(EnvelopeError):
+        PallasEngine(cfg, interpret=False).prepare(x, y, m, n)
+    PallasEngine(cfg, interpret=True).prepare(x, y, m, n)  # no raise
+
+
 def test_affine_fast_oracle_blosum(rng):
     from parallel_genomeseq_tpu.ops.substitution import blosum_config
 

@@ -31,13 +31,14 @@ def _write_reads(path, n=24, ragged=False):
     ref_path = "/root/reference/data/data_small/genome.chr22.5K.fa"
     lines = [l.strip() for l in open(ref_path) if not l.startswith(">")]
     ref = "".join(lines)
-    reads = []
+    reads, starts = [], []
     for k in range(n):
         ln = 80 + (17 * k) % 60 if ragged else 100
         s = int(rng.integers(0, len(ref) - ln))
         reads.append(ref[s : s + ln])
+        starts.append(s)
     Path(path).write_text("\n".join(reads) + "\n")
-    return ref_path
+    return ref_path, starts
 
 
 def _run_solve_dist(reads, output, *, nproc, pid, coordinator=None, env=None):
@@ -67,7 +68,7 @@ def test_two_process_merge_matches_single(tmp_path, use_coordinator):
     if not os.path.exists("/root/reference/data/data_small/genome.chr22.5K.fa"):
         pytest.skip("reference data not present")
     reads = tmp_path / "reads.txt"
-    _write_reads(reads, n=24, ragged=True)
+    _, starts = _write_reads(reads, n=24, ragged=True)
 
     single = tmp_path / "single.csv"
     p = _run_solve_dist(reads, single, nproc=1, pid=0)
@@ -87,6 +88,27 @@ def test_two_process_merge_matches_single(tmp_path, use_coordinator):
     assert merged.read_text() == single.read_text()
     if use_coordinator:
         assert any("2 processes" in o or "process 0/2" in o for o in outs)
+
+    # The distributed writer emits the reference writer's schema — a full
+    # traceback pos_pred, not the DP argmax (mpi_sw_solve_small.cpp:148-186).
+    # Cross-check every row against the in-process chunked aligner: the
+    # mesh-winner + window-traceback path must reproduce the single-process
+    # aligner's pos (the reference's exact stop-on-zero-neighbor semantics,
+    # which for planted substrings can stop a cell or two off the planted
+    # start — both paths must agree on the same cell).
+    lines = merged.read_text().strip().splitlines()
+    assert lines[0] == "index,SEQ,pos_pred,score"
+    assert len(lines) == 1 + len(starts)
+    from parallel_genomeseq_tpu.parallel.chunking import ChunkedAligner
+    from parallel_genomeseq_tpu.seqio.native_io import read_fasta
+
+    ref = read_fasta("/root/reference/data/data_small/genome.chr22.5K.fa")
+    seqs = [line.split(",")[1] for line in lines[1:]]
+    want = ChunkedAligner().align_batch(seqs, ref)
+    for line, w in zip(lines[1:], want):
+        idx, seq, pos_pred, score = line.split(",")
+        assert int(pos_pred) == w.pos, (idx, pos_pred, w.pos)
+        assert int(score) == int(w.score) == 3 * len(seq)  # perfect match
 
 
 def test_writer_waits_for_slow_shard(tmp_path):
