@@ -22,6 +22,17 @@ import time
 import numpy as np
 
 BASELINE_GCUPS = 4.6
+# Protein-path baselines, measured on this host CPU (2026-08-19) by
+# benchmarks/bench_protein_baseline.py at the UNIPROT workload shape
+# (P02232 x 360-aa entries, BLOSUM50), scores verified against the oracle:
+#   striped SSE2 (Farrar, benchmarks/striped_sw.c — the swps3 algorithm
+#   class; actual swps3 sources are wget-fetched by the reference's
+#   init_setup.sh and cannot be obtained on this no-egress rig):
+#     linear 1.67 GCUPS/core, affine(10/2) 1.97 GCUPS/core.
+#   the reference's own protein path (float SWAligner + scoring lambda,
+#   mpi_sw_solve_uniprot.cpp:120-123): 0.20 GCUPS.
+PROTEIN_BASELINE = {"sw_profile_gcups_per_chip": 1.67,
+                    "sw_profile_affine_gcups_per_chip": 1.97}
 
 
 def build_inputs(B):
@@ -36,6 +47,26 @@ def build_inputs(B):
     m = np.array([len(r) for r in reads], np.int32)
     n = np.full(B, len(ref), np.int32)
     cells = int(m.sum()) * len(ref)
+    return xs, ys, m, n, cells
+
+
+def build_protein_inputs(B, db_len=360, seed=11):
+    """The UNIPROT workload shape (mpi_sw_solve_uniprot.cpp:65-138): the
+    P02232 query against SwissProt-length protein entries, one entry per
+    batch lane. db_len=360 ~ the SwissProt mean entry length."""
+    from parallel_genomeseq_tpu.seqio.native_io import read_fasta
+    from parallel_genomeseq_tpu.utils.encoding import Y_PAD, batch_pad, to_bytes
+
+    query = to_bytes(read_fasta("/root/reference/data/query/P02232.fasta"))
+    rng = np.random.default_rng(seed)
+    aa = np.frombuffer(b"ARNDCQEGHILKMFPSTWYV", np.uint8)
+    ys = rng.choice(aa, (B, db_len)).astype(np.uint8)
+    # Plant the query into one lane so the argmax is non-trivial.
+    ys[0, 50 : 50 + min(len(query), db_len - 50)] = query[: db_len - 50]
+    xs = np.broadcast_to(query[None, :], (B, len(query))).copy()
+    m = np.full(B, len(query), np.int32)
+    n = np.full(B, db_len, np.int32)
+    cells = len(query) * db_len * B
     return xs, ys, m, n, cells
 
 
@@ -56,7 +87,8 @@ def time_batch(engine, B, repeats=8):
     return best, cells
 
 
-def kernel_estimate(engine, b_small=128, b_big=5120, repeats=10):
+def kernel_estimate(engine, b_small=128, b_big=5120, repeats=10,
+                    builder=build_inputs):
     """Median-of-pairs batch-differencing GCUPS.
 
     Each invocation carries a fixed host<->device round trip (~28 ms through
@@ -66,9 +98,9 @@ def kernel_estimate(engine, b_small=128, b_big=5120, repeats=10):
     robust to the few-ms RTT drift that sequential min-over-repeats phases
     pick up (observed swinging a two-phase estimate by +-100 GCUPS).
     Returns (kernel_gcups, e2e_gcups)."""
-    xs, ys, m, n, c_small = build_inputs(b_small)
+    xs, ys, m, n, c_small = builder(b_small)
     prep_s = engine.prepare(xs, ys, m, n, device=True)
-    xs, ys, m, n, c_big = build_inputs(b_big)
+    xs, ys, m, n, c_big = builder(b_big)
     prep_b = engine.prepare(xs, ys, m, n, device=True)
     for p in (prep_s, prep_b):  # warm up (compile)
         np.asarray(engine.score_prepared(p)["score"])
@@ -97,6 +129,10 @@ def main():
     ap.add_argument(
         "--profile", default=None, metavar="DIR",
         help="capture a jax.profiler trace of the timed region into DIR",
+    )
+    ap.add_argument(
+        "--skip-protein", action="store_true",
+        help="DNA headline only (skip the BLOSUM profile kernels)",
     )
     args = ap.parse_args()
 
@@ -158,6 +194,53 @@ def main():
             }
         )
     )
+
+    # Protein-path headlines: the substitution-matrix kernels on the
+    # UNIPROT workload shape (swps3's BLOSUM50 scoring; linear-gap for the
+    # reference-parity config, 10/2 open/extend for the swps3-style affine
+    # config). Failures here never mask the DNA headline above.
+    if not args.skip_protein:
+        from parallel_genomeseq_tpu.ops.substitution import blosum_config
+
+        for metric, gopen in (
+            ("sw_profile_gcups_per_chip", 0.0),
+            ("sw_profile_affine_gcups_per_chip", 10.0),
+        ):
+            pbase = PROTEIN_BASELINE[metric]
+            try:
+                from parallel_genomeseq_tpu.ops.wavefront_pallas import (
+                    PallasEngine,
+                )
+
+                cfg = blosum_config(
+                    "blosum50", gap_penalty=2.0, gap_open=gopen
+                )
+                eng = PallasEngine(cfg)
+                if not eng.interpret:
+                    # First-batch oracle gate (miscompile defense) on the
+                    # same program shape the small batch reuses.
+                    xs, ys, m, n, _ = build_protein_inputs(128)
+                    eng.score_batch(xs, ys, m, n)
+                k_gcups, e_gcups = kernel_estimate(
+                    eng, builder=build_protein_inputs
+                )
+                print(
+                    f"# {metric}: kernel={k_gcups:.1f} GCUPS "
+                    f"end2end(B=5120)={e_gcups:.1f} GCUPS",
+                    file=sys.stderr,
+                )
+                print(
+                    json.dumps(
+                        {
+                            "metric": metric,
+                            "value": round(k_gcups, 2),
+                            "unit": "GCUPS",
+                            "vs_baseline": round(k_gcups / pbase, 2),
+                        }
+                    )
+                )
+            except Exception as e:
+                print(f"# {metric} failed: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":
