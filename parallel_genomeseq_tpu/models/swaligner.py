@@ -169,32 +169,38 @@ class BatchSWAligner:
             elif (
                 isinstance(self.scorer, PallasEngine)
                 and self.cfg.is_uniform
-                and not self.cfg.is_affine
+                and (M > MAX_M or not self.cfg.is_affine)
             ):
                 # Strip-length reads: checkpointed strip recompute — the
                 # scan emit_moves tensor would be O(D*M*B) (~40 GB at the
-                # solve_big winner shape).
+                # solve_big winner shape). The affine variant checkpoints
+                # the F boundary rows alongside H and replays the H/E/F
+                # state machine.
                 try:
-                    strip_res = self.scorer.score_batch_strip_moves(
-                        xs, ys, m, n, max_steps=max_steps
-                    )
+                    if self.cfg.is_affine:
+                        strip_res = self.scorer.score_batch_strip_affine_moves(
+                            xs, ys, m, n, max_steps=max_steps
+                        )
+                    else:
+                        strip_res = self.scorer.score_batch_strip_moves(
+                            xs, ys, m, n, max_steps=max_steps
+                        )
                     res = strip_res
                 except EnvelopeError:
                     res = self.engine.score_batch(xs, ys, m, n, emit_moves=True)
             else:
-                # General traceback path (affine, float, substitution
-                # matrices): the scan sweep materializes a (D, M, B) uint8
-                # move tensor. Guard the shapes where that cannot fit —
-                # only uniform linear-gap scoring has the checkpointed
-                # strip traceback that avoids it.
+                # General traceback path (float, substitution matrices):
+                # the scan sweep materializes a (D, M, B) uint8 move
+                # tensor. Guard the shapes where that cannot fit — only
+                # uniform scoring has the checkpointed strip traceback
+                # that avoids it.
                 est = (M + N) * M * len(xb)
                 if est > 2 * 1024**3:
                     raise ValueError(
                         f"traceback at this shape needs a ~{est/1e9:.1f} GB "
                         "move tensor (scan emit_moves); checkpointed strip "
-                        "traceback exists only for uniform linear-gap "
-                        "scoring — reduce the batch size or run with "
-                        "traceback=False"
+                        "traceback exists only for uniform scoring — reduce "
+                        "the batch size or run with traceback=False"
                     )
                 res = self.engine.score_batch(xs, ys, m, n, emit_moves=True)
         else:

@@ -218,6 +218,74 @@ def walk_strip_level(moves, x_strip, y_bn, base_row, state, *, max_steps: int):
     return jax.lax.fori_loop(0, max_steps, body, state)
 
 
+@functools.partial(jax.jit, static_argnames=("max_steps",))
+def walk_strip_level_affine(moves, x_strip, y_bn, base_row, state, *,
+                            max_steps: int):
+    """Advance the batched AFFINE state-machine walk through ONE row-strip
+    (strip-length affine traceback; see
+    PallasEngine.score_batch_strip_affine_moves). The per-lane gap-machine
+    state (0 = H, 1 = E run, 2 = F run) is carried in the state tuple, so a
+    gap run crossing a strip edge (an F run always does) resumes correctly
+    at the next level.
+
+    moves: (D, S, B) uint8 affine move codes (scan_dp H_*/E_EXT/F_EXT
+           encoding) of the strip rows [base_row, base_row + S), recomputed
+           from the checkpointed H and F boundary rows.
+    state: (i, j, pos, gstate, active, cx, cy, steps); same level gating and
+           scatter emission as walk_strip_level, same per-cell semantics as
+           walk_moves_affine (the H_ZERO cell stops without emitting).
+    """
+    from .scan_dp import E_EXT_BIT, F_EXT_BIT, H_E, H_F, H_NW, H_ZERO
+
+    D, S, B = moves.shape
+    N = y_bn.shape[1]
+    lanes = jnp.arange(B)
+    Mbuf = state[5].shape[0]  # cx rows
+
+    def body(_, st):
+        i, j, pos, gstate, active, cx, cy, steps = st
+        inlevel = active & (i - 1 >= base_row)
+        r = jnp.clip(i - 1 - base_row, 0, S - 1)
+        d = jnp.clip(i + j - 2 - base_row, 0, D - 1)
+        mv = moves[d, r, lanes]
+        hsrc = (mv & np.uint8(3)).astype(jnp.int32)
+        e_ext = (mv & E_EXT_BIT) != 0
+        f_ext = (mv & F_EXT_BIT) != 0
+        in_h = gstate == 0
+        op = jnp.where(in_h, hsrc, gstate)
+        # Stop on H_ZERO; j <= 0 guards the clipped gather after a path
+        # consumes the whole reference prefix (i <= 0 cannot hold inlevel).
+        stop = inlevel & in_h & ((hsrc == H_ZERO) | (j <= 0))
+        nw = inlevel & ~stop & (op == H_NW)
+        go_w = inlevel & ~stop & (op == H_E)
+        go_n = inlevel & ~stop & (op == H_F)
+        xc = x_strip[r, lanes]
+        yc = y_bn[lanes, jnp.clip(j - 1, 0, N - 1)]
+        emit_x = jnp.where(go_w, GAP_BYTE, xc)
+        emit_y = jnp.where(go_n, GAP_BYTE, yc)
+        emitting = inlevel & ~stop
+        slot = jnp.where(emitting, steps, Mbuf)  # out-of-range rows drop
+        cx = cx.at[slot, lanes].set(emit_x, mode="drop")
+        cy = cy.at[slot, lanes].set(emit_y, mode="drop")
+        steps = jnp.where(emitting, steps + 1, steps)
+        pos = jnp.where(nw, j, pos)
+        gstate = jnp.where(
+            nw,
+            0,
+            jnp.where(
+                go_w,
+                jnp.where(e_ext, 1, 0),
+                jnp.where(go_n, jnp.where(f_ext, 2, 0), gstate),
+            ),
+        )
+        i = i - jnp.where(nw | go_n, 1, 0)
+        j = j - jnp.where(nw | go_w, 1, 0)
+        active = active & ~stop
+        return (i, j, pos, gstate, active, cx, cy, steps)
+
+    return jax.lax.fori_loop(0, max_steps, body, state)
+
+
 def decode_consensus(cx, cy, steps) -> List[Tuple[str, str]]:
     """Device buffers -> per-lane (consensus_x, consensus_y) strings."""
     cx = np.asarray(cx)

@@ -734,9 +734,23 @@ def _kernel_strips_ckpt(x_ref, y_ref, best_ref, bestd_ref, rows_ref,
                  nblk=nblk, gap=gap, slot=slot)
 
 
+def _kernel_strips_affine_ckpt(x_ref, y_ref, best_ref, bestd_ref, rows_ref,
+                               frows_ref, lastrow_ref, flastrow_ref, *,
+                               nblk: int, match: int, mismatch: int,
+                               gap: int, gopen: int, slot: int = 0):
+    """Affine strip kernel that checkpoints BOTH boundary rows per strip:
+    H (like _kernel_strips_ckpt) and F — the north-gap-run values the affine
+    traceback replay needs at each strip's row 0 (E is row-internal and
+    never crosses a strip edge, so it needs no checkpoint)."""
+    sow, shape = _uniform_sow(x_ref, match, mismatch, slot)
+    _strips_body(sow, shape, y_ref, best_ref, bestd_ref, rows_ref, lastrow_ref,
+                 nblk=nblk, gap=gap, slot=slot, gopen=gopen,
+                 flastrow_ref=flastrow_ref, frows_ref=frows_ref)
+
+
 def _strips_body(score_of_window, shape, y_ref, best_ref, bestd_ref, rows_ref,
                  lastrow_ref, *, nblk: int, gap: int, slot: int = 0,
-                 gopen: int = 0, flastrow_ref=None):
+                 gopen: int = 0, flastrow_ref=None, frows_ref=None):
     """One strip of the blocked wavefront.
 
     Per local step d' (diagonal within the strip), the row-0 north/north-west
@@ -871,6 +885,8 @@ def _strips_body(score_of_window, shape, y_ref, best_ref, bestd_ref, rows_ref,
         # strip's reads would observe (all strips write the same p-range;
         # positions above it stay 0 from the s_idx == 0 init).
         rows_ref[0] = lastrow_ref[:]
+    if frows_ref is not None:
+        frows_ref[0] = flastrow_ref[:]
 
 
 @functools.partial(jax.jit, static_argnames=("match", "mismatch", "gap", "interpret"))
@@ -1094,6 +1110,56 @@ def _call_strips_ckpt(xs, ys, *, match, mismatch, gap, interpret):
     return best, bestd, rows
 
 
+@functools.partial(
+    jax.jit, static_argnames=("match", "mismatch", "gap", "gopen", "interpret")
+)
+def _call_strips_affine_ckpt(xs, ys, *, match, mismatch, gap, gopen, interpret):
+    """Affine strip scoring pass that also returns the (nstrips, Nlr, B)
+    int16 H and F boundary-row checkpoints (see _kernel_strips_affine_ckpt)."""
+    M, B = xs.shape
+    Ny = ys.shape[0]
+    S = STRIP_S
+    nstrips = M // S
+    nblk = Ny // UNROLL
+    slot = _pick_slot(nblk * UNROLL, INT16_BOUND)
+    kernel = functools.partial(
+        _kernel_strips_affine_ckpt, nblk=nblk, match=match, mismatch=mismatch,
+        gap=gap, gopen=gopen, slot=slot,
+    )
+    Nlr = Ny + 4 * UNROLL
+    best, bestd, rows, frows = pl.pallas_call(
+        kernel,
+        grid=(B // LANE, nstrips),
+        in_specs=[
+            pl.BlockSpec((S, LANE), lambda b, s: (s, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ny, LANE), lambda b, s: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((S, LANE), lambda b, s: (s, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, LANE), lambda b, s: (s, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nlr, LANE), lambda b, s: (s, 0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nlr, LANE), lambda b, s: (s, 0, b), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, B), jnp.int32),
+            jax.ShapeDtypeStruct((M, B), jnp.int32),
+            jax.ShapeDtypeStruct((nstrips, Nlr, B), jnp.int16),
+            jax.ShapeDtypeStruct((nstrips, Nlr, B), jnp.int16),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Nlr, LANE), jnp.int16),  # H boundary rows
+            pltpu.VMEM((Nlr, LANE), jnp.int16),  # F boundary rows
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=22 * (M // S) * (S + Ny) * S * B,
+            bytes_accessed=M * B * 16 + 2 * (M // S) * Nlr * B * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xs, ys)
+    return best, bestd, rows, frows
+
+
 def _kernel_strip_moves(x_ref, y_ref, rowin_ref, moves_ref, h1_s, s2_s, ywin_s,
                         *, match: int, mismatch: int, gap: int):
     """Replay ONE strip's recurrence from its checkpointed incoming boundary
@@ -1172,6 +1238,122 @@ def _call_strip_moves(x_strip, ys, rowin, *, match, mismatch, gap, interpret):
     return moves
 
 
+def _kernel_strip_affine_moves(x_ref, y_ref, rowin_ref, frowin_ref, moves_ref,
+                               h1_s, s2_s, e1_s, f1_s, ywin_s,
+                               *, match: int, mismatch: int, gap: int,
+                               gopen: int):
+    """Replay ONE strip's affine (Gotoh) recurrence from its checkpointed
+    incoming H and F boundary rows, emitting the H/E/F state-machine move
+    codes of scan_dp._wavefront_affine (H_NW/H_E/H_F/H_ZERO + E/F extend
+    bits). The H/E/F values recomputed here equal the full-matrix DP values
+    on every cell the walk can visit: H is exact everywhere (same mask-free
+    recurrence as the scoring pass), and E/F deviate from the masked scan
+    values only while strictly negative (boundary-region chains start at 0
+    instead of -inf and decay by gap each step), where neither the H-source
+    comparison (needs E/F == H > 0) nor a walked gap run (visits only cells
+    with E/F > 0 along the run) can observe them."""
+    from .scan_dp import E_EXT_BIT, F_EXT_BIT, H_E, H_F, H_NW, H_ZERO
+
+    S, B = x_ref.shape
+    o = pl.program_id(1)
+    x = x_ref[:].astype(jnp.int32)
+    gp = np.asarray(gap, jnp.int32)
+    go = np.asarray(gopen, jnp.int32)
+
+    @pl.when(o == 0)
+    def _():
+        z = jnp.zeros((S, B), jnp.int32)
+        h1_s[:] = z
+        s2_s[:] = z
+        e1_s[:] = z
+        f1_s[:] = z
+        ywin_s[:] = z
+
+    h1, s2, e1, f1 = h1_s[:], s2_s[:], e1_s[:], f1_s[:]
+    ywin = ywin_s[:]
+    base = pl.multiple_of(o * UNROLL, UNROLL)
+    blk = y_ref[pl.ds(base, UNROLL), :].astype(jnp.int32)
+    rblk = rowin_ref[pl.ds(base, 2 * UNROLL), :].astype(jnp.int32)
+    frblk = frowin_ref[pl.ds(base, 2 * UNROLL), :].astype(jnp.int32)
+    for k in range(UNROLL):
+        yc = blk[k : k + 1, :]
+        ywin = _shift_down(ywin, yc)
+        sc = jnp.where(x == ywin, match, mismatch)
+        north0 = rblk[k + STRIP_PADW + 1 : k + STRIP_PADW + 2, :]
+        s1 = _shift_down(h1, north0)
+        fnorth0 = frblk[k + STRIP_PADW + 1 : k + STRIP_PADW + 2, :]
+        f1s = _shift_down(f1, fnorth0)
+        e_open = h1 - go
+        f_open = s1 - go
+        e_d = jnp.maximum(e_open, e1) - gp
+        f_d = jnp.maximum(f_open, f1s) - gp
+        diag = s2 + sc
+        hd = jnp.maximum(jnp.maximum(diag, e_d), jnp.maximum(f_d, 0))
+        # Same code priority as scan_dp._wavefront_affine: ZERO > NW > E >
+        # F. Codes are built in int32 and cast once — Mosaic rejects
+        # jnp.where with sub-word branch values here (i1 -> 8-bit relayout
+        # "Invalid relayout ... vector<256x128xi1>", observed on v5e).
+        h_src = jnp.where(
+            hd == 0,
+            int(H_ZERO),
+            jnp.where(hd == diag, int(H_NW),
+                      jnp.where(hd == e_d, int(H_E), int(H_F))),
+        )
+        e_ext = e1 >= e_open
+        f_ext = f1s >= f_open
+        mv = (
+            h_src
+            + jnp.where(e_ext, int(E_EXT_BIT), 0)
+            + jnp.where(f_ext, int(F_EXT_BIT), 0)
+        )
+        moves_ref[k] = mv.astype(jnp.uint8)
+        s2 = s1
+        e1 = e_d
+        f1 = f_d
+        h1 = hd
+    h1_s[:] = h1
+    s2_s[:] = s2
+    e1_s[:] = e1
+    f1_s[:] = f1
+    ywin_s[:] = ywin
+
+
+@functools.partial(
+    jax.jit, static_argnames=("match", "mismatch", "gap", "gopen", "interpret")
+)
+def _call_strip_affine_moves(x_strip, ys, rowin, frowin, *, match, mismatch,
+                             gap, gopen, interpret):
+    S, B = x_strip.shape
+    Ny = ys.shape[0]
+    nblk = Ny // UNROLL
+    kernel = functools.partial(
+        _kernel_strip_affine_moves, match=match, mismatch=mismatch, gap=gap,
+        gopen=gopen,
+    )
+    Nlr = rowin.shape[0]
+    moves = pl.pallas_call(
+        kernel,
+        grid=(B // LANE, nblk),
+        in_specs=[
+            pl.BlockSpec((S, LANE), lambda b, o: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ny, LANE), lambda b, o: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Nlr, LANE), lambda b, o: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Nlr, LANE), lambda b, o: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (UNROLL, S, LANE), lambda b, o: (o, 0, b), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nblk * UNROLL, S, B), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((S, LANE), jnp.int32)] * 5,
+        cost_estimate=pl.CostEstimate(
+            flops=26 * (S + Ny) * S * B, bytes_accessed=(S + Ny) * S * B,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x_strip, ys, rowin, frowin)
+    return moves
+
+
 @functools.partial(jax.jit, static_argnames=("strip_s",))
 def _reduce_best_strips(best, bestd, m, n, *, strip_s: int = STRIP_S):
     """Per-lane (score, i, j) from strip-local diagonal indices: cell at
@@ -1223,6 +1405,47 @@ def score_lanes_jit(x_lanes, y_lanes, *, match: int, mismatch: int, gap: int,
     else:
         best, bestd = _call_uniform(
             xs, ys, match=match, mismatch=mismatch, gap=gap, interpret=interpret
+        )
+    score, i, j = _reduce_best(best, bestd)
+    return score[:B0], i[:B0], j[:B0]
+
+
+def score_lanes_profile_jit(x_lanes, y_lanes, lut, *, alphabet: Tuple[int, ...],
+                            worst: int, best_sub: int, gap: int,
+                            interpret: bool, gopen: int = 0):
+    """Traceable substitution-matrix batch scorer for use INSIDE jit /
+    shard_map — the profile sibling of score_lanes_jit, so MeshAligner can
+    run BLOSUM-class scoring (the UNIPROT workload,
+    src/mpi_sw_solve_uniprot.cpp:120-123) on the Pallas per-shard path.
+
+    lut: (256, A) int32 score columns (lut[byte, c] = S[row(byte), c], worst
+    for bytes outside the alphabet — including the X_PAD/Y_PAD bytes, which
+    keeps the mask-free pad-decay argument intact). The per-read score
+    profile (A, M, B) is gathered in XLA outside the kernel, exactly like
+    PallasEngine.prepare's numpy version. gopen > 0 selects the affine
+    kernel. Returns (score, i, j), each (B0,) int32.
+    """
+    B0, M0 = x_lanes.shape
+    N0 = y_lanes.shape[1]
+    if M0 > MAX_M:
+        raise ValueError(
+            "score_lanes_profile_jit is single-strip only (M0 <= MAX_M)"
+        )
+    M = _round_up(max(M0, 8), 8)
+    Ny = _round_up(max(N0, 8) + M + UNROLL, UNROLL)
+    B = _round_up(max(B0, LANE), LANE)
+    xs = jnp.full((M, B), 1, jnp.uint8).at[:M0, :B0].set(x_lanes.T)  # X_PAD
+    ys = jnp.full((Ny, B), 2, jnp.uint8).at[:N0, :B0].set(y_lanes.T)  # Y_PAD
+    prof = jnp.transpose(lut[xs], (2, 0, 1))  # (A, M, B)
+    if gopen:
+        best, bestd = _call_profile_affine(
+            prof, ys, alphabet=alphabet, worst=worst, best_sub=best_sub,
+            gap=gap, gopen=gopen, interpret=interpret,
+        )
+    else:
+        best, bestd = _call_profile(
+            prof, ys, alphabet=alphabet, worst=worst, best_sub=best_sub,
+            gap=gap, interpret=interpret,
         )
     score, i, j = _reduce_best(best, bestd)
     return score[:B0], i[:B0], j[:B0]
@@ -1455,6 +1678,102 @@ class PallasEngine:
                     break
             del moves
         _, _, pos, _, cx, cy, steps = state
+        return {
+            "score": score, "i": res["i"], "j": res["j"], "pos": pos,
+            "cx": cx, "cy": cy, "steps": steps, "B0": prep["B0"],
+        }
+
+    def score_batch_strip_affine_moves(self, x_bm, y_bn, m, n, *,
+                                       max_steps: int, west_slack: int = 256):
+        """Affine (Gotoh) score + argmax + full state-machine traceback for
+        STRIP-length reads — removes the linear-only limitation of
+        score_batch_strip_moves. Same three-stage architecture:
+        1. checkpointing affine strip sweep storing BOTH the H and the F
+           boundary rows per strip (E is row-internal, no checkpoint needed);
+        2. per strip level (top down), replay the strip's H/E/F recurrence
+           from its checkpointed incoming rows with _kernel_strip_affine_moves,
+           emitting scan_dp's affine move codes;
+        3. a jitted lockstep affine walk (traceback.walk_strip_level_affine)
+           carries the per-lane H/E/F machine state across strip levels, so
+           gap runs crossing a strip edge resume correctly.
+
+        Returns the same PADDED dict as score_batch_strip_moves. Uniform
+        affine scoring only (the strips-affine kernel's envelope).
+        """
+        from .traceback import walk_strip_level_affine
+
+        if not (self.cfg.is_uniform and self.cfg.is_affine):
+            raise EnvelopeError(
+                "score_batch_strip_affine_moves requires uniform affine "
+                "scoring (matrix+affine strips are gated to scan on hardware)"
+            )
+        x_bm = np.asarray(x_bm, np.uint8)
+        y_bn = np.asarray(y_bn, np.uint8)
+        prep = self.prepare(x_bm, y_bn, m, n)
+        if not prep["strips"]:
+            raise EnvelopeError(
+                "score_batch_strip_affine_moves is for strip-length reads "
+                "(M > MAX_M); single-strip affine traceback uses the scan "
+                "engine's move codes"
+            )
+        xs, ys = prep["args"]
+        match = int(self.cfg.match)
+        mismatch = int(self.cfg.mismatch)
+        gap = int(self.cfg.gap_penalty)
+        gopen = int(self.cfg.gap_open)
+        best, bestd, rows, frows = _call_strips_affine_ckpt(
+            xs, ys, match=match, mismatch=mismatch, gap=gap, gopen=gopen,
+            interpret=self.interpret,
+        )
+        score, i, j = _reduce_best_strips(best, bestd, None, None)
+        res = {"score": score, "i": i, "j": j}
+        if "strips_affine" not in self._checked:
+            self._verify_first(x_bm, y_bn, m, n, res, need_pos=True,
+                               path="strips_affine")
+
+        M, B = xs.shape
+        S = STRIP_S
+        nstrips = M // S
+        y_walk = jnp.asarray(ys.T)
+        i = jnp.asarray(i, jnp.int32)
+        j = jnp.asarray(j, jnp.int32)
+        state = (
+            i, j, jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
+            i > 0,
+            jnp.zeros((max_steps, B), jnp.uint8),
+            jnp.zeros((max_steps, B), jnp.uint8),
+            jnp.zeros((B,), jnp.int32),
+        )
+        zero_row = np.zeros(rows.shape[1:], np.int16)
+        # Strip 0's incoming F row is the forward pass's "no run" init value
+        # (see _strips_body): anything <= -gopen makes the open branch win.
+        nof_row = np.full(frows.shape[1:], -(gopen + gap + 1), np.int16)
+        for s in range(nstrips - 1, -1, -1):
+            ih = np.asarray(state[0])
+            ah = np.asarray(state[4])
+            if not (ah & (ih - 1 >= s * S)).any():
+                continue
+            rowin = rows[s - 1] if s > 0 else zero_row
+            frowin = frows[s - 1] if s > 0 else nof_row
+            moves = _call_strip_affine_moves(
+                xs[s * S : (s + 1) * S], ys, rowin, frowin,
+                match=match, mismatch=mismatch, gap=gap, gopen=gopen,
+                interpret=self.interpret,
+            )
+            x_strip = jnp.asarray(xs[s * S : (s + 1) * S])
+            while True:
+                state = walk_strip_level_affine(
+                    moves, x_strip, y_walk, s * S, state,
+                    max_steps=S + west_slack,
+                )
+                ih = np.asarray(state[0])
+                ah = np.asarray(state[4])
+                # Rare: a lane spent > west_slack gap moves inside this
+                # strip; rerun the level (progress is guaranteed per step).
+                if not (ah & (ih - 1 >= s * S)).any():
+                    break
+            del moves
+        _, _, pos, _, _, cx, cy, steps = state
         return {
             "score": score, "i": res["i"], "j": res["j"], "pos": pos,
             "cx": cx, "cy": cy, "steps": steps, "B0": prep["B0"],

@@ -135,6 +135,66 @@ def test_strips_rejects_unsupported():
             .score_batch(xs, ys, np.array([m]), np.array([64]))
 
 
+def test_strip_affine_traceback_vs_oracle(rng):
+    """Full affine (Gotoh) traceback on strip-length reads — checkpointed
+    H+F boundary rows, per-strip H/E/F move replay, state-machine walk —
+    must match the numpy affine oracle exactly (VERDICT r2 #6: removes the
+    2048-bp affine traceback cap)."""
+    from parallel_genomeseq_tpu.models.swaligner import BatchSWAligner
+    from parallel_genomeseq_tpu.ops import oracle
+
+    cfg = ScoringConfig(match=3.0, mismatch=-3.0, gap_penalty=1.0, gap_open=4.0)
+    n = 2600
+    ref = rng.choice(DNA, size=n)
+    m = MAX_M + 300
+    reads = []
+    for subs, indels in [(0, 0), (40, 0), (20, 8), (0, 14)]:
+        s0 = int(rng.integers(0, n - 2100))
+        seg = _mutate(rng, ref[s0 : s0 + 2100], subs, indels)
+        r = rng.choice(DNA, size=m)
+        r[100 : 100 + len(seg)] = seg[: min(len(seg), m - 100)]
+        reads.append(r.tobytes().decode("ascii"))
+    reads.append(rng.choice(DNA, size=m).tobytes().decode("ascii"))
+    ref_s = ref.tobytes().decode("ascii")
+
+    al = BatchSWAligner(cfg, score_engine="pallas")
+    got = al.align_batch(reads, [ref_s])
+    for k, read in enumerate(reads):
+        want = oracle.align(read, ref_s, cfg)
+        assert got[k].score == want.score, k
+        assert got[k].pos == want.pos, k
+        assert got[k].consensus_x == want.consensus_x, k
+        assert got[k].consensus_y == want.consensus_y, k
+
+
+def test_strip_affine_traceback_gap_run_crosses_strip_edge(rng):
+    """An insertion in the read (an F run: gap columns in the reference)
+    planted ACROSS a strip boundary: the walk leaves strip s mid-run with
+    machine state F and must resume extending at strip s-1."""
+    from parallel_genomeseq_tpu.models.swaligner import BatchSWAligner
+    from parallel_genomeseq_tpu.ops import oracle
+
+    cfg = ScoringConfig(match=3.0, mismatch=-3.0, gap_penalty=1.0, gap_open=4.0)
+    m = MAX_M + 512  # 10 strips of 256
+    # Read = ref segment with 24 inserted bases straddling read row 512
+    # (strip boundary 2): rows 500..524 are insertions.
+    n = m + 200
+    ref = rng.choice(DNA, size=n)
+    read = np.concatenate(
+        [ref[50 : 50 + 500], rng.choice(DNA, size=24), ref[550 : 50 + m - 24 + 500]]
+    )[:m]
+    read_s = read.tobytes().decode("ascii")
+    ref_s = ref.tobytes().decode("ascii")
+    got = BatchSWAligner(cfg, score_engine="pallas").align_batch(
+        [read_s], [ref_s]
+    )[0]
+    want = oracle.align(read_s, ref_s, cfg)
+    assert (got.score, got.pos) == (want.score, want.pos)
+    assert got.consensus_x == want.consensus_x
+    assert got.consensus_y == want.consensus_y
+    assert "-" * 20 in got.consensus_y  # the long F run is in the alignment
+
+
 def test_strips_affine_vs_scan(rng):
     """Affine (Gotoh) strip kernel: long uniform-scoring reads with
     open/extend gaps stay on Pallas — differential vs the scan affine
