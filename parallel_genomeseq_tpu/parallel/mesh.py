@@ -89,6 +89,29 @@ def _score_lanes_pallas(x_rm, y_pn, match, mismatch, gap, interpret, gopen=0):
     )
 
 
+def _score_lanes_pallas_profile(x_rm, y_pn, lut, alphabet, worst, best_sub,
+                                gap, interpret, gopen=0):
+    """Substitution-matrix sibling of _score_lanes_pallas: score all (local
+    reads x local pieces) lanes with the Pallas profile kernel — BLOSUM-class
+    scoring on TPU meshes (the UNIPROT workload the reference distributes
+    via MPI, src/mpi_sw_solve_uniprot.cpp:65-138)."""
+    from ..ops.wavefront_pallas import score_lanes_profile_jit
+
+    Rl, M = x_rm.shape
+    Pl, N = y_pn.shape
+    xs = jnp.repeat(x_rm, Pl, axis=0)  # lane = r * Pl + p
+    ys = jnp.tile(y_pn, (Rl, 1))
+    score, i, j = score_lanes_profile_jit(
+        xs, ys, lut, alphabet=alphabet, worst=worst, best_sub=best_sub,
+        gap=gap, interpret=interpret, gopen=gopen,
+    )
+    return (
+        score.reshape(Rl, Pl),
+        i.reshape(Rl, Pl),
+        j.reshape(Rl, Pl),
+    )
+
+
 def _score_lanes_scan(x_rm, y_pn, m_r, n_p, table, gap, gap_open=None):
     """Score all (local reads x local pieces) lanes with the scan wavefront.
 
@@ -156,6 +179,14 @@ class MeshAligner:
         tab = cfg.byte_table().astype(np.int32)
         self._table = jnp.asarray(tab)
         self._gap = jnp.asarray(int(cfg.gap_penalty), jnp.int32)
+        # Mask-free kernel preconditions (see wavefront_pallas._make_body):
+        # pad-byte decay is only exact with a strictly negative
+        # mismatch/worst-matrix score and gap >= 1.
+        worst_neg = (
+            int(cfg.mismatch) < 0
+            if cfg.is_uniform
+            else int(np.asarray(cfg.matrix).min()) < 0
+        )
         if engine == "auto":
             # Pallas per-shard compute: production path on TPU meshes when
             # the mask-free kernel preconditions hold (see PallasEngine).
@@ -163,8 +194,7 @@ class MeshAligner:
                 "pallas"
                 if (
                     jax.default_backend() == "tpu"
-                    and cfg.is_uniform
-                    and int(cfg.mismatch) < 0
+                    and worst_neg
                     and int(cfg.gap_penalty) >= 1
                 )
                 else "scan"
@@ -172,24 +202,31 @@ class MeshAligner:
         if engine not in ("pallas", "scan"):
             raise ValueError(f"unknown engine {engine!r}")
         if engine == "pallas":
-            # Same mask-free kernel preconditions PallasEngine enforces:
-            # _score_lanes_pallas ignores per-lane m/n and relies on pad-byte
-            # decay, which is only exact for uniform scoring with mismatch < 0
-            # and gap >= 1 (see wavefront_pallas._make_body).
-            if not cfg.is_uniform:
+            # Same preconditions PallasEngine enforces: _score_lanes_pallas
+            # ignores per-lane m/n and relies on pad-byte decay.
+            if not worst_neg:
                 raise ValueError(
-                    "MeshAligner engine='pallas' requires uniform scoring "
-                    "(use engine='scan' for substitution matrices)"
-                )
-            if int(cfg.mismatch) >= 0:
-                raise ValueError(
-                    "MeshAligner engine='pallas' requires mismatch < 0 (use engine='scan')"
+                    "MeshAligner engine='pallas' requires a negative "
+                    "mismatch / worst matrix entry (use engine='scan')"
                 )
             if int(cfg.gap_penalty) < 1:
                 raise ValueError(
                     "MeshAligner engine='pallas' requires gap_penalty >= 1 (use engine='scan')"
                 )
         self.engine = engine
+        if not cfg.is_uniform:
+            # (256, A) per-byte score columns for the Pallas profile path
+            # (mirrors PallasEngine.prepare's LUT; worst for out-of-alphabet
+            # bytes, including the pad bytes).
+            alpha = tuple(cfg.alphabet.encode("ascii"))
+            S = np.asarray(cfg.matrix).astype(np.int32)
+            lut = np.full((256, len(alpha)), int(S.min()), np.int32)
+            for ci in range(len(alpha)):
+                for ri, rb in enumerate(alpha):
+                    lut[rb, ci] = S[ri, ci]
+            self._plut = jnp.asarray(lut)
+        else:
+            self._plut = None
         self._fn_cache = {}
         # Per-instance first-result miscompile gate (remote TPU compiles have
         # been observed to rarely produce wrong executables); interpret-mode
@@ -205,12 +242,20 @@ class MeshAligner:
             else None
         )
         use_pallas = self.engine == "pallas"
+        uniform = self.cfg.is_uniform
         if use_pallas:
-            match_i = int(self.cfg.match)
-            mismatch_i = int(self.cfg.mismatch)
             gap_i = int(self.cfg.gap_penalty)
             gopen_i = int(self.cfg.gap_open)
             interpret = jax.default_backend() != "tpu"
+            if uniform:
+                match_i = int(self.cfg.match)
+                mismatch_i = int(self.cfg.mismatch)
+            else:
+                plut = self._plut
+                alpha_t = tuple(self.cfg.alphabet.encode("ascii"))
+                Smat = np.asarray(self.cfg.matrix)
+                worst_i = int(Smat.min())
+                best_i = int(Smat.max())
 
         @functools.partial(
             jax.jit,
@@ -231,7 +276,12 @@ class MeshAligner:
             check_vma=False,  # scan carries are created inside the mapped fn
         )
         def run(x, y, m, n, lefts, pids):
-            if use_pallas:
+            if use_pallas and not uniform:
+                score, i, j = _score_lanes_pallas_profile(
+                    x, y, plut, alpha_t, worst_i, best_i, gap_i, interpret,
+                    gopen_i,
+                )  # (Rl, Pl)
+            elif use_pallas:
                 score, i, j = _score_lanes_pallas(
                     x, y, match_i, mismatch_i, gap_i, interpret, gopen_i
                 )  # (Rl, Pl)

@@ -78,7 +78,7 @@ def test_mesh_pallas_engine_preconditions():
     from parallel_genomeseq_tpu.utils.config import ScoringConfig
 
     mesh = make_mesh(2)
-    with pytest.raises(ValueError, match="mismatch < 0"):
+    with pytest.raises(ValueError, match="negative"):
         MeshAligner(
             cfg=ScoringConfig(match=3, mismatch=0, gap_penalty=2),
             mesh=mesh, engine="pallas",
@@ -88,8 +88,9 @@ def test_mesh_pallas_engine_preconditions():
             cfg=ScoringConfig(match=3, mismatch=-3, gap_penalty=0),
             mesh=mesh, engine="pallas",
         )
-    with pytest.raises(ValueError, match="uniform"):
-        MeshAligner(cfg=blosum_config("blosum62"), mesh=mesh, engine="pallas")
+    # Substitution matrices with a negative worst entry ARE accepted (the
+    # profile per-shard path); blosum62's min is -4.
+    MeshAligner(cfg=blosum_config("blosum62"), mesh=mesh, engine="pallas")
 
 
 def test_graft_entry_points():
@@ -125,6 +126,32 @@ def test_mesh_substitution_scoring(rng):
     for k, r in enumerate(reads):
         _, _, ov = oracle.find_max(oracle.sw_matrix(r, ref, cfg))
         assert int(out["score"][k]) == ov, k
+
+
+def test_mesh_pallas_profile_matches_scan(rng):
+    """Substitution-matrix scoring on the Pallas per-shard path (VERDICT r2
+    #7: BLOSUM on TPU meshes — the reference's MPI+UNIPROT combination,
+    mpi_sw_solve_uniprot.cpp:65-138) must agree with the scan mesh on score,
+    position, and winning piece — linear and affine gaps."""
+    from parallel_genomeseq_tpu.ops.substitution import blosum_config
+
+    alpha = list("ARNDCQEGHILKMFPSTWYV")
+    ref = "".join(rng.choice(alpha, 400))
+    reads = [ref[i : i + 30] for i in (25, 180, 360)] + [
+        "".join(rng.choice(alpha, 30)) for _ in range(2)
+    ]
+    chunk = ChunkConfig(npiece=4, overlap_ratio=2.0)
+    mesh = make_mesh(8)
+    for gopen in (0.0, 10.0):
+        cfg = blosum_config("blosum50", gap_penalty=2.0, gap_open=gopen)
+        out_p = MeshAligner(
+            cfg=cfg, chunk_cfg=chunk, mesh=mesh, engine="pallas"
+        ).score_reads(reads, ref)
+        out_s = MeshAligner(
+            cfg=cfg, chunk_cfg=chunk, mesh=mesh, engine="scan"
+        ).score_reads(reads, ref)
+        for k in ("score", "i", "j", "piece"):
+            assert (out_p[k] == out_s[k]).all(), (gopen, k, out_p[k], out_s[k])
 
 
 def test_mesh_pallas_engine_matches_scan(rng):
