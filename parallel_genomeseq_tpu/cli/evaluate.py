@@ -60,6 +60,26 @@ def _ompfg(args):
         ux = np.unique(x)
         data = [df[df["n_lanes"] == v]["y"].values for v in ux]
         ax.boxplot(x=data, positions=np.log2(ux), widths=0.15, showfliers=False)
+    if args.fit == "poly":
+        # Quadratic least-squares fit in log2(lanes) — the reference's
+        # curve_fit(poly_fit) overlay (py/eval.py:60-77); np.polyfit is the
+        # same least-squares problem without the scipy dependency.
+        w = np.polyfit(np.log2(x), df["y"].values, 2)
+        x_fit = np.linspace(np.log2(x.min()), np.log2(x.max()), 1000)
+        ax.plot(x_fit, np.polyval(w, x_fit), linewidth=1.0, color="red",
+                label="Quadratic fit")
+        ax.legend(loc="upper left", fontsize=12)
+    elif args.fit == "hmean":
+        # Harmonic mean of y per lane count (py/eval.py:78-84): the right
+        # average for rates like GCUPS/speedup measured over equal work.
+        ux = np.unique(x)
+        y_h = np.array(
+            [1.0 / np.mean(1.0 / df[df["n_lanes"] == v]["y"].values) for v in ux]
+        )
+        ax.plot(np.log2(ux), y_h, linewidth=1.0, color="red",
+                label="Harmonic mean")
+        ax.legend(loc="upper left", fontsize=12)
+        ax.scatter(np.log2(x), df["y"], s=5.0, color="black", marker="o")
     ax.minorticks_on()
     ax.grid(which="major", linestyle="-", linewidth=0.5)
     ax.grid(which="minor", linestyle=":", linewidth=0.5)
@@ -101,6 +121,9 @@ def main(argv=None):
     p.add_argument("-y", "--yaxis", default="abs_time",
                    choices=["abs_time", "normed_time", "speedup", "gcups"])
     p.add_argument("-p", "--plot-type", default="box_plot", choices=["box_plot", "scatter"])
+    p.add_argument("-f", "--fit", default="false", choices=["false", "poly", "hmean"],
+                   help="overlay a quadratic fit or per-lane-count harmonic mean "
+                        "on the ompfg plot (py/eval.py --fit)")
     p.add_argument("--plot-out", default=str(common.REPO_DATA / "eval_plot.png"))
     p.add_argument("--cells-per-read", type=float, default=125 * 4980,
                    help="cells per read for GCUPS conversion")
