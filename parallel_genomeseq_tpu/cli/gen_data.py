@@ -59,6 +59,18 @@ def main(argv=None):
     u.add_argument("--mode", choices=["split", "single"], default="single")
     u.add_argument("--out-dir", default=str(common.REPO_DATA / "uniprot"))
 
+    s = sub.add_parser(
+        "gen_protein_db",
+        help="synthetic SwissProt-scale database (no-egress stand-in for "
+        "uniprot_sprot.fasta; reference workload is 561,356 entries)",
+    )
+    s.add_argument("--n-entries", type=int, default=561_356)
+    s.add_argument("--query", default=None,
+                   help="query FASTA; mutated copies are planted for signal")
+    s.add_argument("--max-len", type=int, default=2048)
+    s.add_argument("--seed", type=int, default=7)
+    s.add_argument("--out", default=str(common.REPO_DATA / "uniprot_syn" / "database.fasta"))
+
     args = p.parse_args(argv)
     import os
 
@@ -93,6 +105,18 @@ def main(argv=None):
                 os.path.join(args.out_dir, "stats.txt"),
             )
         print(f"prepared {n} proteins -> {args.out_dir}")
+    elif args.cmd == "gen_protein_db":
+        from ..seqio.datagen import gen_protein_db
+
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        q = read_fasta(args.query) if args.query else None
+        n_planted = gen_protein_db(
+            args.out, n_entries=args.n_entries, query=q, seed=args.seed,
+            max_len=args.max_len,
+            stats_path=os.path.join(os.path.dirname(args.out), "stats.txt"),
+        )
+        print(f"wrote {args.n_entries} synthetic proteins -> {args.out} "
+              f"({n_planted} planted query mutants)")
     return 0
 
 

@@ -68,3 +68,45 @@ def gen_reads_custom(
             for seq, _ in out:
                 f.write(seq + "\n")
     return out
+
+
+def gen_protein_db(
+    out_path,
+    n_entries: int = 561_356,
+    query: Optional[str] = None,
+    seed: int = 7,
+    min_len: int = 60,
+    max_len: int = 2048,
+    stats_path=None,
+) -> int:
+    """Synthetic SwissProt-scale protein database (one-line-per-protein
+    format, iter_database-compatible) for at-scale solve_uniprot runs when
+    the real uniprot_sprot.fasta cannot be fetched. Defaults to the
+    reference workload's entry count (/root/reference/data/uniprot/stats.txt:
+    561,356). Lengths follow a lognormal fit of SwissProt (median ~290 aa),
+    clipped to [min_len, max_len]. When ``query`` is given, a handful of
+    mutated query copies are planted at known indices so the top-hit report
+    has verifiable signal."""
+    rng = np.random.default_rng(seed)
+    alpha = np.frombuffer(b"ARNDCQEGHILKMFPSTWYV", np.uint8)
+    lens = np.clip(
+        rng.lognormal(mean=np.log(290.0), sigma=0.65, size=n_entries),
+        min_len, max_len,
+    ).astype(np.int64)
+    planted = []
+    with open(out_path, "w") as f:
+        for k in range(n_entries):
+            if query and k % max(1, n_entries // 8) == 3:
+                qb = np.frombuffer(query.encode(), np.uint8).copy()
+                nmut = int(rng.integers(0, max(2, len(qb) // 20)))
+                for _ in range(nmut):
+                    qb[int(rng.integers(0, len(qb)))] = int(rng.choice(alpha))
+                seq = qb.tobytes().decode()
+                planted.append(k)
+            else:
+                seq = rng.choice(alpha, size=int(lens[k])).tobytes().decode()
+            f.write(f">SYN{k:07d}\n{seq}\n")
+    if stats_path:
+        with open(stats_path, "w") as f:
+            f.write(f"{n_entries}\n")
+    return len(planted)
