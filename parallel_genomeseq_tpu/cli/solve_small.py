@@ -40,6 +40,13 @@ def main(argv=None):
         "int32 scores (default, strictly better on ground-truth parity)",
     )
     p.add_argument(
+        "--seed-extend", action="store_true",
+        help="FM-index exact-seed the reads and extend only inside the "
+        "seeded reference window (banded SW); unseeded reads fall back to "
+        "full-width — the seed-and-extend direction the reference's BWT "
+        "prototype (src/bwt_fm.cpp) never finished",
+    )
+    p.add_argument(
         "--both-strands", action="store_true",
         help="also align the reverse complement of each read and keep the "
         "better score (forward wins ties); extension — the reference "
@@ -59,7 +66,14 @@ def main(argv=None):
     print(f"solve_small: {len(reads)} reads vs {len(ref)}-bp reference")
 
     cfg = common.scoring_from_args(args)
-    if args.parity_mode == "skewed":
+    if args.seed_extend and args.parity_mode == "skewed":
+        p.error("--seed-extend implies exact int32 scoring; drop --parity-mode skewed")
+    if args.seed_extend:
+        from ..models.seed_extend import SeedExtendAligner
+
+        aligner = SeedExtendAligner(ref, cfg)
+        stream = lambda batches: aligner.align_stream(batches)
+    elif args.parity_mode == "skewed":
         from ..utils.config import Semantics
         import dataclasses
 

@@ -1,0 +1,109 @@
+"""Seed-and-extend: FM-index seeding + windowed extension vs full-width SW.
+
+The deliverable the reference's BWT prototype stopped short of
+(src/bwt_fm.cpp:182-239): seeds must lead to alignments identical to the
+full-matrix aligner whenever the optimum lies inside the seeded window —
+and degrade to the full aligner (not to garbage) when seeding fails.
+"""
+
+import random
+
+import pytest
+
+from parallel_genomeseq_tpu.models.seed_extend import (
+    SeedExtendAligner,
+    cluster_diagonals,
+)
+from parallel_genomeseq_tpu.models.swaligner import BatchSWAligner
+from parallel_genomeseq_tpu.seqio.readers import read_fasta, read_ground_truth
+
+REF_FA = "/root/reference/data/data_small/genome.chr22.5K.fa"
+GT_CSV = "/root/reference/data/data_small_ground_truth.csv"
+
+
+def test_cluster_diagonals_votes_and_slack():
+    # Two seeds on nearby diagonals chain into one cluster; a far diagonal
+    # forms its own. Votes count distinct read offsets, not raw seeds.
+    seeds = [(0, 100), (8, 109), (0, 4000), (8, 4008), (16, 4016)]
+    clusters = cluster_diagonals(seeds, slack=4)
+    assert sorted(clusters) == [(2, 100, 101), (3, 4000, 4000)]
+    # max() picks the best-voted cluster.
+    assert max(clusters) == (3, 4000, 4000)
+
+
+def test_cluster_diagonals_repetitive_kmer_single_vote():
+    # One read offset hitting 5 reference copies far apart: 5 clusters of
+    # 1 vote each — repetition must not outvote a 2-offset placement.
+    seeds = [(0, p) for p in (0, 1000, 2000, 3000, 4000)]
+    seeds += [(0, 500), (8, 508)]
+    clusters = cluster_diagonals(seeds, slack=4)
+    assert max(clusters)[0] == 2
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return read_fasta(REF_FA)
+
+
+@pytest.fixture(scope="module")
+def gt_rows():
+    return read_ground_truth(GT_CSV)
+
+
+def test_seeded_matches_full_aligner_on_data_small(ref, gt_rows):
+    reads = [r["SEQ"] for r in gt_rows[:24]]
+    se = SeedExtendAligner(ref)
+    full = BatchSWAligner()
+    got = se.align_batch(reads)
+    want = full.align_batch(reads, [ref])
+    for g, w in zip(got, want):
+        assert g.score == w.score
+        assert g.pos == w.pos
+        assert g.consensus_x == w.consensus_x
+        assert g.consensus_y == w.consensus_y
+
+
+def test_windows_are_narrow(ref, gt_rows):
+    se = SeedExtendAligner(ref)
+    for row in gt_rows[:24]:
+        w = se.window(row["SEQ"])
+        assert w is not None
+        left, right = w
+        # 125-bp read + 2*64 margin (+ diagonal spread): far below the
+        # 4980-bp full reference — this is where the speedup comes from.
+        assert right - left < len(ref) // 4
+
+
+def test_mutated_read_still_seeds_and_matches(ref, gt_rows):
+    rng = random.Random(3)
+    seq = gt_rows[0]["SEQ"]
+    chars = list(seq)
+    for p in rng.sample(range(len(chars)), 6):  # ~5% substitutions
+        chars[p] = rng.choice([c for c in "ACGT" if c != chars[p]])
+    mutated = "".join(chars)
+    se = SeedExtendAligner(ref)
+    full = BatchSWAligner()
+    g = se.align(mutated)
+    w = full.align_batch([mutated], [ref])[0]
+    assert (g.score, g.pos) == (w.score, w.pos)
+
+
+def test_no_seed_falls_back_to_full(ref):
+    # A protein-alphabet string shares no 24-mer with the DNA reference.
+    junk = "WYWYWYWYWYWYWYWYWYWYWYWYWYWYWYWY"
+    se = SeedExtendAligner(ref)
+    assert se.window(junk) is None
+    g = se.align(junk)
+    w = BatchSWAligner().align_batch([junk], [ref])[0]
+    assert (g.score, g.pos) == (w.score, w.pos)
+
+
+def test_mixed_batch_orders_results(ref, gt_rows):
+    # Seeded and fallback lanes interleave; output order must follow input.
+    reads = [gt_rows[0]["SEQ"], "WYWYWYWYWYWYWYWYWYWYWYWYWYWYWYWY", gt_rows[1]["SEQ"]]
+    se = SeedExtendAligner(ref)
+    full = BatchSWAligner()
+    got = se.align_batch(reads)
+    want = full.align_batch(reads, [ref])
+    for g, w in zip(got, want):
+        assert (g.score, g.pos) == (w.score, w.pos)
