@@ -65,6 +65,12 @@ def main(argv=None):
         "(restart a killed run without redoing finished work)",
     )
     p.add_argument(
+        "--pad-mult", type=int, default=128,
+        help="round each batch's padded length up to this multiple; larger "
+        "values trade padding compute for fewer compiled shapes (each new "
+        "shape pays a per-process program-load round trip on remote TPUs)",
+    )
+    p.add_argument(
         "--num-processes", type=int, default=1,
         help="shard the database across N processes (the reference's "
         "files_per_rank sharding, mpi_sw_solve_uniprot.cpp:71-99)",
@@ -161,7 +167,7 @@ def main(argv=None):
         idxs = order[s : s + B]
         seqs = [to_bytes(entries[k][1]) for k in idxs]
         n = np.array([len(v) for v in seqs], np.int32)
-        N = _round_up(int(n.max()), 128)
+        N = _round_up(int(n.max()), args.pad_mult)
         ys = batch_pad(seqs, N, Y_PAD)
         xs = np.broadcast_to(qb[None, :], (len(idxs), len(qb))).copy()
         m = np.full(len(idxs), len(qb), np.int32)
