@@ -41,6 +41,11 @@ def main(argv=None):
         "the reads/s-vs-batch curve (each size pays its one-time program "
         "load in the warmup pass)",
     )
+    p.add_argument(
+        "--seed-extend", action="store_true",
+        help="seed-and-extend path: FM-index window per read, extension "
+        "inside the window only (~20x fewer DP cells per seeded read)",
+    )
     common.add_scoring_flags(p)
     common.add_chunk_flags(p, npiece_default=17)
     common.add_platform_flags(p)
@@ -52,7 +57,12 @@ def main(argv=None):
     reads = [r["SEQ"] for r in rows]
     cfg = common.scoring_from_args(args)
     tb = not args.no_traceback
-    if args.npiece > 1:
+    if args.seed_extend:
+        from parallel_genomeseq_tpu.models.seed_extend import SeedExtendAligner
+
+        al = SeedExtendAligner(ref, cfg)
+        stream = lambda batches: al.align_stream(batches, traceback=tb)
+    elif args.npiece > 1:
         al = ChunkedAligner(cfg=cfg, chunk=common.chunk_from_args(args))
         stream = lambda batches: al.align_stream(batches, ref, traceback=tb)
     else:

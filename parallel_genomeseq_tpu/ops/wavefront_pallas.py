@@ -580,6 +580,15 @@ def _call_uniform(xs, ys, *, match, mismatch, gap, interpret, track_pos=True,
     return best.astype(jnp.int32), bestd.astype(jnp.int32)
 
 
+@jax.jit
+def _profile_gather(xs, lut):
+    """(M, B) uint8 query block + (256, A) int32 LUT -> (A, M, B) int32
+    substitution profile, gathered in XLA on device (the per-shard mesh
+    path, score_lanes_profile_jit, uses the same pattern). Keeping the
+    gather on device means only the raw bytes cross the host link."""
+    return jnp.transpose(lut[xs.astype(jnp.int32)], (2, 0, 1))
+
+
 @functools.partial(
     jax.jit, static_argnames=("alphabet", "worst", "best_sub", "gap", "interpret")
 )
@@ -1479,6 +1488,7 @@ class PallasEngine:
             if int(np.asarray(cfg.matrix).min()) >= 0:
                 raise ValueError("PallasEngine requires a negative worst matrix entry (use ScanEngine)")
         self.cfg = cfg
+        self._lut_dev = None
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.interpret = interpret
@@ -1829,17 +1839,14 @@ class PallasEngine:
         xs[:M0, :B0] = x_bm.T
         ys = np.full((Ny, B), 2, np.uint8)  # Y_PAD
         ys[:N0, :B0] = y_bn.T
-        if self.cfg.is_uniform:
-            first = xs
-        else:
-            alpha = tuple(self.cfg.alphabet.encode("ascii"))
-            S = np.asarray(self.cfg.matrix).astype(np.int32)
-            worst = int(S.min())
-            lut = np.full((256, len(alpha)), worst, np.int32)
-            for ci in range(len(alpha)):
-                for ri, rb in enumerate(alpha):
-                    lut[rb, ci] = S[ri, ci]
-            first = np.transpose(lut[xs], (2, 0, 1)).copy()  # (A, M, B)
+        # Substitution-matrix scoring ships the raw (M, B) uint8 query block;
+        # the (A, M, B) int32 profile is gathered in XLA ON DEVICE inside
+        # score_prepared (same pattern as score_lanes_profile_jit). Gathering
+        # on host would multiply the per-batch host->device transfer by
+        # sizeof(int32) * |alphabet| (14 MB vs 0.14 MB at the UNIPROT shape,
+        # B=1024) — through the remote tunnel that made solve_uniprot
+        # bandwidth-bound at ~0.55 s/batch.
+        first = xs
         from ..utils.logging import vlog
 
         vlog(
@@ -1849,11 +1856,36 @@ class PallasEngine:
         args = [first, ys]
         if device:
             args = [jax.device_put(a) for a in args]
+            if not self.cfg.is_uniform:
+                # Device-resident prep: gather the profile once up front so
+                # repeated score_prepared calls (benchmarks, pipelines that
+                # re-score one batch) pay the gather a single time.
+                args[0] = _profile_gather(args[0], self._lut())
         return {"args": args, "B0": B0, "strips": strips,
                 "m": np.asarray(m, np.int32), "n": np.asarray(n, np.int32)}
 
+    def _lut(self):
+        """(256, A) int32 substitution LUT, device-resident (built once per
+        engine; rows = raw query bytes, cols = alphabet index). Unknown
+        residues score as the matrix minimum."""
+        if self._lut_dev is None:
+            alpha = tuple(self.cfg.alphabet.encode("ascii"))
+            S = np.asarray(self.cfg.matrix).astype(np.int32)
+            lut = np.full((256, len(alpha)), int(S.min()), np.int32)
+            for ci in range(len(alpha)):
+                for ri, rb in enumerate(alpha):
+                    lut[rb, ci] = S[ri, ci]
+            self._lut_dev = jax.device_put(lut)
+        return self._lut_dev
+
     def score_prepared(self, prep, need_pos: bool = True):
         args = prep["args"]
+        if not self.cfg.is_uniform and args[0].ndim == 2:
+            # Device-side LUT gather: (M, B) uint8 -> (A, M, B) int32 score
+            # profile (cheap VPU work; keeps the host->device transfer at
+            # one byte per query cell). Device-resident preps arrive
+            # pre-gathered (ndim == 3).
+            args = [_profile_gather(args[0], self._lut()), args[1]]
         B0 = prep["B0"]
         if prep.get("strips"):
             if self.cfg.is_uniform and self.cfg.is_affine:
