@@ -91,6 +91,56 @@ class FMIndex:
                 out.append((off, pos))
         return out
 
+    def seeds_batch(
+        self, reads: List[str], k: int, step: int = 1
+    ) -> List[List[Tuple[int, int]]]:
+        """``seeds`` for a whole batch at once: every k-mer of every read is
+        backward-searched SIMULTANEOUSLY as numpy lanes (k vectorized steps
+        over Q = sum of per-read k-mer counts, instead of Q*k scalar python
+        iterations). An empty interval stays empty under further updates
+        (occ is monotone), so dead k-mers need no masking. Returns one
+        (read_offset, text_position) list per read, same contents as
+        per-read ``seeds``."""
+        qread, qoffs, pats = [], [], []
+        for ri, read in enumerate(reads):
+            nq = (len(read) - k) // step + 1 if len(read) >= k else 0
+            if nq == 0:
+                continue
+            b = np.frombuffer(read.encode("ascii"), np.uint8)
+            pats.append(np.lib.stride_tricks.sliding_window_view(b, k)[::step])
+            qoffs.append(np.arange(nq, dtype=np.int64) * step)
+            qread.append(np.full(nq, ri, np.int64))
+        out: List[List[Tuple[int, int]]] = [[] for _ in reads]
+        if not pats:
+            return out
+        cls = self._amap[np.concatenate(pats).astype(np.int32) + 1]  # (Q, k)
+        qoffs = np.concatenate(qoffs)
+        qread = np.concatenate(qread)
+        Q = cls.shape[0]
+        sp = np.zeros(Q, np.int64)
+        ep = np.full(Q, self.n, np.int64)
+        for t in range(k - 1, -1, -1):
+            c = cls[:, t]
+            bad = c < 0
+            c = np.where(bad, 0, c)
+            sp = self.C[c] + self._occ_full[sp, c]
+            ep = self.C[c] + self._occ_full[ep, c]
+            ep = np.where(bad, sp, ep)  # unknown char: kill the interval
+        lens = np.maximum(ep - sp, 0)
+        if int(lens.sum()) == 0:
+            return out
+        # Expand each non-empty SA interval: sa[sp[q] : ep[q]] for every q,
+        # without a python loop (repeat + cumulative-range trick).
+        starts = np.repeat(sp, lens)
+        within = np.arange(int(lens.sum())) - np.repeat(
+            np.concatenate([[0], np.cumsum(lens)[:-1]]), lens
+        )
+        pos = self.sa[starts + within]
+        hit_q = np.repeat(np.arange(Q), lens)
+        for qi, p in zip(hit_q, pos):
+            out[int(qread[qi])].append((int(qoffs[qi]), int(p)))
+        return out
+
 
 def _suffix_array(s: np.ndarray) -> np.ndarray:
     """Prefix-doubling suffix array (numpy; O(n log^2 n))."""

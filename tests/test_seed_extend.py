@@ -45,6 +45,17 @@ def ref():
     return read_fasta(REF_FA)
 
 
+def test_seeds_batch_matches_per_read(ref, gt_rows):
+    from parallel_genomeseq_tpu.models.fm_index import FMIndex
+
+    fm = FMIndex(ref)
+    reads = [r["SEQ"] for r in gt_rows[:16]]
+    reads += ["WYWY", "", gt_rows[0]["SEQ"][:10]]  # no-hit / empty / short
+    batched = fm.seeds_batch(reads, k=24, step=8)
+    for read, got in zip(reads, batched):
+        assert sorted(got) == sorted(fm.seeds(read, 24, 8))
+
+
 @pytest.fixture(scope="module")
 def gt_rows():
     return read_ground_truth(GT_CSV)

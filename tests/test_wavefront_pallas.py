@@ -70,6 +70,26 @@ def test_profile_kernel_protein(rng):
         assert (int(res["i"][0]), int(res["j"][0])) == (oi, oj)
 
 
+def test_profile_device_prep_matches_host_path(rng):
+    """prepare(device=True) pre-gathers the (A, M, B) profile on device;
+    prepare(device=False) ships raw bytes and score_prepared gathers them.
+    Both must produce identical results (the at-scale UNIPROT fast path)."""
+    from parallel_genomeseq_tpu.ops.substitution import blosum_config
+
+    cfg = blosum_config("blosum50", gap_penalty=4.0)
+    eng = PallasEngine(cfg)
+    xs = batch_pad([to_bytes(random_protein(rng, 24)) for _ in range(3)], 24, X_PAD)
+    ys = batch_pad([to_bytes(random_protein(rng, 60)) for _ in range(3)], 60, Y_PAD)
+    m = np.full(3, 24)
+    n = np.full(3, 60)
+    host = eng.score_prepared(eng.prepare(xs, ys, m, n))
+    dev = eng.score_prepared(eng.prepare(xs, ys, m, n, device=True))
+    want = ScanEngine(cfg).score_batch(xs, ys, m, n)
+    for k in ("score", "i", "j"):
+        np.testing.assert_array_equal(np.asarray(host[k]), np.asarray(want[k]))
+        np.testing.assert_array_equal(np.asarray(dev[k]), np.asarray(want[k]))
+
+
 def test_rejects_sat_uint8():
     with pytest.raises(ValueError):
         PallasEngine(ScoringConfig(semantics=Semantics.SAT_UINT8))
