@@ -64,8 +64,14 @@ def main(argv=None):
         help="skip proteins already present in the checkpoint file "
         "(restart a killed run without redoing finished work)",
     )
+    def positive_int(v):
+        iv = int(v)
+        if iv < 1:
+            raise argparse.ArgumentTypeError(f"must be >= 1, got {v}")
+        return iv
+
     p.add_argument(
-        "--pad-mult", type=int, default=128,
+        "--pad-mult", type=positive_int, default=128,
         help="round each batch's padded length up to this multiple; larger "
         "values trade padding compute for fewer compiled shapes (each new "
         "shape pays a per-process program-load round trip on remote TPUs)",

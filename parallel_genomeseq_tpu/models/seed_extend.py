@@ -17,7 +17,11 @@ completes that direction the TPU-native way:
    like the chunk merge (parallel/chunking.py).
 
 Reads that produce no seeds (or too few votes) fall back to the full-width
-aligner, so results never degrade below plain SW. Windows are batched
+aligner, so *unseeded* reads never degrade below plain SW. (Seeded reads are
+heuristic, as in every seed-and-extend aligner: a read whose true optimum is
+mutation-dense with no exact k-mer can seed a decoy region and return a lower
+score than full SW; on data_small windows results are exact.) Windows are
+batched
 through the same pipelined submit/collect path as everything else; since a
 window is O(|read| + 2*margin) instead of O(|ref|), the DP work per seeded
 read drops by ~|ref| / (|read| + 2*margin) (20x on the data_small shape).
@@ -93,7 +97,10 @@ class SeedExtendAligner:
         clusters = cluster_diagonals(seeds, slack=self.margin // 2)
         if not clusters:
             return None
-        votes, dmin, dmax = max(clusters)
+        # Vote ties prefer the SMALLEST diagonal, matching the leftmost /
+        # min-j tie convention of the full-width engines (scan_dp._reduce_best)
+        # so repetitive reads place identically under either path.
+        votes, dmin, dmax = max(clusters, key=lambda c: (c[0], -c[1], -c[2]))
         if votes < self.min_votes:
             return None
         left = max(0, dmin - self.margin)

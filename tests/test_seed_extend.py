@@ -99,6 +99,22 @@ def test_mutated_read_still_seeds_and_matches(ref, gt_rows):
     assert (g.score, g.pos) == (w.score, w.pos)
 
 
+def test_two_identical_copies_prefer_leftmost(ref, gt_rows):
+    # A read matching two identical reference copies must place at the
+    # LEFTMOST copy — the min-j tie convention of the full-width engines
+    # (scan_dp._reduce_best). Regression for the round-3 advisor finding:
+    # max(clusters) on (votes, dmin, dmax) tuples resolved equal-vote
+    # clusters to the largest diagonal (rightmost placement).
+    seq = gt_rows[0]["SEQ"]
+    ref2 = ref[:1000] + seq + ref[1000:2000] + seq + ref[2000:3000]
+    se = SeedExtendAligner(ref2)
+    full = BatchSWAligner()
+    g = se.align(seq)
+    w = full.align_batch([seq], [ref2])[0]
+    assert g.score == w.score
+    assert g.pos == w.pos  # leftmost copy under both paths
+
+
 def test_no_seed_falls_back_to_full(ref):
     # A protein-alphabet string shares no 24-mer with the DNA reference.
     junk = "WYWYWYWYWYWYWYWYWYWYWYWYWYWYWYWY"
