@@ -104,6 +104,13 @@ def main(argv=None):
         cells = sum(len(r) for r in batch) * len(ref)
         gcups_per_read.append(cells / best_t / 1e9)
         print(f"batch {bk}: {best_t*1e3:.1f} ms (min of {args.nrepeat}) -> {gcups_per_read[-1]:.2f} GCUPS")
+        lv = res[0].timings.levels_us
+        if args.traceback and lv:
+            # Per-strip-level replay+walk times, top strip first — the
+            # strip-path analog of the reference's per-anti-diagonal
+            # timing vector (src/aligner/similaritymatrix.cpp:241-244).
+            lv_ms = " ".join(f"{v / 1e3:.1f}" for v in lv)
+            print(f"  traceback strip levels (ms, top first): {lv_ms}")
 
     g = np.array(gcups_per_read)
     print(f"GCUPS mean {g.mean():.2f} std {g.std():.2f} (useful cells / wall time, batches of {args.batch_size})")

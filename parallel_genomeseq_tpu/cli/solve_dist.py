@@ -101,6 +101,12 @@ def main(argv=None):
         "--merge-timeout", type=float, default=600.0,
         help="seconds the writer waits for all shards before failing",
     )
+    p.add_argument(
+        "--bench-align", action="store_true",
+        help="re-run the (already compiled) local scoring pass once more "
+        "and print its compute-only rate as 'align_rate: ...' — the "
+        "multi-process scaling measurement (compile time excluded)",
+    )
     common.add_chunk_flags(p, npiece_default=4)
     common.add_platform_flags(p)
     args = p.parse_args(argv)
@@ -133,6 +139,19 @@ def main(argv=None):
         mesh=make_mesh(devices=jax.local_devices()),
     )
     out = aligner.score_reads(local_reads, ref)
+
+    if args.bench_align:
+        # Timed warm re-run: the first score_reads above paid the compile,
+        # so this measures pure per-process alignment throughput (the
+        # quantity that must scale ~linearly with process count).
+        t0 = time.perf_counter()
+        out = aligner.score_reads(local_reads, ref)
+        np.asarray(out["score"])
+        dt = time.perf_counter() - t0
+        print(
+            f"align_rate: {len(local_reads)} reads in {dt:.4f}s = "
+            f"{len(local_reads) / dt:.1f} reads/s"
+        )
 
     if args.score_only:
         header = "index,SEQ,pos_end,score\n"

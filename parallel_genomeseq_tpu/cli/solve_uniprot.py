@@ -8,8 +8,12 @@ into device batches and scored by the wavefront kernel with real BLOSUM
 substitution scoring (the reference's fast path cannot do matrix scoring at
 all — it probes only uniform match/mismatch, src/aligner/similaritymatrix.cpp:389-392).
 
-Output CSV: name,len,score,pos_end (1-based ref index of the DP maximum)
-sorted by database order, plus a top-K report.
+Output CSV: name,len,score,pos_end,pos_pred,consensus_x,consensus_y sorted
+by database order, plus a top-K report. pos_end is the 1-based entry index
+of the DP maximum (every row); pos_pred/consensus are the reference
+writer's traceback semantics (x=entry, y=query; pos_pred = position in the
+query, mpi_sw_solve_uniprot.cpp:120-138,151-186), filled for the top-K
+rows re-run through the full aligner (--traceback-top).
 
 Usage:
     python -m parallel_genomeseq_tpu.cli.solve_uniprot \
@@ -52,6 +56,14 @@ def main(argv=None):
                    "gap_open + L * gap_penalty (swps3's 12/2 affine default "
                    "is --gap-open 10 --gap-penalty 2)")
     p.add_argument("--top", type=int, default=10, help="print top-K hits")
+    p.add_argument(
+        "--traceback-top", type=int, default=-1, metavar="K",
+        help="re-run the top-K hits through the full aligner with traceback "
+        "and emit the reference writer's pos_pred semantics (position in "
+        "the QUERY: the reference aligns x=entry, y=query and getPos() "
+        "reports sequence_y, mpi_sw_solve_uniprot.cpp:120-138,151-186) "
+        "plus the consensus strings; default = --top, 0 disables",
+    )
     p.add_argument("--limit", type=int, default=0, help="only first N proteins (0 = all)")
     p.add_argument("--engine", default="auto", choices=["auto", "pallas", "scan"])
     p.add_argument(
@@ -119,6 +131,46 @@ def main(argv=None):
     B = args.batch_size
     results = [None] * len(entries)
 
+    # Device-resident database fast path: upload the whole DB once as a
+    # flat uint8 array; each batch ships only (offs, lens) int32 vectors
+    # and the windows are gathered/encoded/scored entirely on device
+    # (score_db_windows_jit). Removes the per-batch sequence upload that
+    # made round-3's UNIPROT runs transport-bound through the remote
+    # tunnel (0.77 GCUPS e2e vs a 52-67 GCUPS kernel).
+    from ..ops.wavefront_pallas import MAX_M, PallasEngine, score_db_windows_jit
+
+    resident = (
+        isinstance(engine, PallasEngine)
+        and args.matrix != "uniform"
+        and len(qb) <= MAX_M
+    )
+    if resident:
+        import jax
+
+        t_up = time.perf_counter()
+        seq_bytes = [to_bytes(e[1]) for e in entries]
+        lens_np = np.array([len(s) for s in seq_bytes], np.int32)
+        offs_np = np.zeros(max(len(entries), 1), np.int32)
+        if len(entries) > 1:
+            np.cumsum(lens_np[:-1], out=offs_np[1:])
+        flat_np = (
+            np.concatenate(seq_bytes) if seq_bytes else np.zeros(1, np.uint8)
+        )
+        flat_dev = jax.device_put(flat_np)
+        plut, elut = engine._lut()
+        Mq = _round_up(len(qb), 8)
+        qblock = np.full((Mq, 1), 1, np.uint8)  # X_PAD
+        qblock[: len(qb), 0] = qb
+        q_dev = jax.device_put(qblock)
+        flat_dev.block_until_ready()
+        print(
+            f"resident DB: {flat_np.nbytes / 1e6:.1f} MB uploaded in "
+            f"{time.perf_counter() - t_up:.2f}s"
+        )
+        Smat = np.asarray(cfg.matrix).astype(np.int32)
+        worst_i, best_i = int(Smat.min()), int(Smat.max())
+        gap_i, gopen_i = int(cfg.gap_penalty), int(cfg.gap_open)
+
     # Checkpoint/resume: results are appended per batch keyed by protein
     # name (names survive reordering/limit changes; the reference's one-shot
     # MPI run has to restart the whole DB on any failure).
@@ -143,75 +195,154 @@ def main(argv=None):
 
     # Pipelined scoring: up to DEPTH batches stay dispatched ahead of the
     # oldest blocking fetch, so device compute overlaps the host round trips
-    # (and the checkpoint writes) of earlier batches.
+    # (and the checkpoint writes) of earlier batches. The resident path runs
+    # a deeper pipeline and fetches GROUP batches per device_get (results
+    # are a few KB each; one blocking fetch costs a full tunnel RTT).
     import jax
     from collections import deque
 
-    DEPTH = 3
+    DEPTH = 24 if resident else 3
+    GROUP = 8 if resident else 1
     cells = 0
     done_cnt = 0
     pend = deque()
+    verified = [not resident or engine.interpret]
     t_start = time.perf_counter()
 
-    def collect_one():
+    def _verify_resident(idxs, score_h, jj_h):
+        """First-batch miscompile gate for the resident path (mirrors
+        PallasEngine._verify_first; that gate lives in score_batch, which
+        this path bypasses)."""
+        from ..ops.oracle import sw_affine_score_fast, sw_score_fast
+
+        fast = sw_affine_score_fast if cfg.is_affine else sw_score_fast
+        for bi in {0, len(idxs) - 1}:
+            want = fast(qb, to_bytes(entries[idxs[bi]][1]), cfg)
+            got = (int(score_h[bi]), int(jj_h[bi]))
+            if got != (want[0], want[2]):
+                raise RuntimeError(
+                    f"resident-path first-batch check FAILED (lane {bi}: "
+                    f"{got} != oracle {(want[0], want[2])}): suspected "
+                    "miscompile — retry in a fresh process or clear the "
+                    "JAX compilation cache"
+                )
+        verified[0] = True
+
+    def collect_group():
         nonlocal done_cnt
-        idxs, arrays = pend.popleft()
-        score, jj = jax.device_get(arrays)
-        for bi, k in enumerate(idxs):
-            results[k] = (int(score[bi]), int(jj[bi]))
+        batches = [pend.popleft() for _ in range(min(GROUP, len(pend)))]
+        fetched = jax.device_get([b[1] for b in batches])
+        w = csv.writer(ckpt_f) if ckpt_f is not None else None
+        for (idxs, _), (score, jj) in zip(batches, fetched):
+            if not verified[0]:
+                _verify_resident(idxs, score, jj)
+            for bi, k in enumerate(idxs):
+                results[k] = (int(score[bi]), int(jj[bi]))
+            if w is not None:
+                for k in idxs:
+                    w.writerow([entries[k][0], results[k][0], results[k][1]])
+            first = done_cnt == 0
+            done_cnt += len(idxs)
+            if first or done_cnt % (B * 8) == 0 or done_cnt == len(order):
+                print(f"progress: {done_cnt}/{len(order)}")
         if ckpt_f is not None:
-            w = csv.writer(ckpt_f)
-            for k in idxs:
-                w.writerow([entries[k][0], results[k][0], results[k][1]])
             ckpt_f.flush()
-        first = done_cnt == 0
-        done_cnt += len(idxs)
-        if first or done_cnt % (B * 8) == 0 or done_cnt == len(order):
-            print(f"progress: {done_cnt}/{len(order)}")
 
     for s in range(0, len(order), B):
         idxs = order[s : s + B]
-        seqs = [to_bytes(entries[k][1]) for k in idxs]
-        n = np.array([len(v) for v in seqs], np.int32)
-        N = _round_up(int(n.max()), args.pad_mult)
-        ys = batch_pad(seqs, N, Y_PAD)
-        xs = np.broadcast_to(qb[None, :], (len(idxs), len(qb))).copy()
-        m = np.full(len(idxs), len(qb), np.int32)
-        try:
-            res = engine.score_batch(xs, ys, m, n)
-        except EnvelopeError:
-            # Shapes outside the Pallas kernels' envelope (e.g. the gated
-            # affine+matrix strip kernel for >2048-aa queries) fall back to
-            # the scan wavefront permanently for this run.
-            from ..ops.scan_dp import ScanEngine
+        if resident:
+            # Fixed (B,)-shaped offs/lens (pad lanes len 0) so the
+            # remainder batch reuses a compiled program per N bucket.
+            offs_b = np.zeros(B, np.int32)
+            lens_b = np.zeros(B, np.int32)
+            offs_b[: len(idxs)] = offs_np[idxs]
+            lens_b[: len(idxs)] = lens_np[idxs]
+            N = _round_up(int(lens_b.max()), args.pad_mult)
+            score, ii, jj = score_db_windows_jit(
+                flat_dev, offs_b, lens_b, q_dev, plut, elut,
+                N=N, worst=worst_i, best_sub=best_i, gap=gap_i,
+                gopen=gopen_i, interpret=engine.interpret,
+            )
+            pend.append((idxs, (score[: len(idxs)], jj[: len(idxs)])))
+            cells += len(qb) * int(lens_b.sum())
+        else:
+            seqs = [to_bytes(entries[k][1]) for k in idxs]
+            n = np.array([len(v) for v in seqs], np.int32)
+            N = _round_up(int(n.max()), args.pad_mult)
+            ys = batch_pad(seqs, N, Y_PAD)
+            xs = np.broadcast_to(qb[None, :], (len(idxs), len(qb))).copy()
+            m = np.full(len(idxs), len(qb), np.int32)
+            try:
+                res = engine.score_batch(xs, ys, m, n)
+            except EnvelopeError:
+                # Shapes outside the Pallas kernels' envelope (e.g. the gated
+                # affine+matrix strip kernel for >2048-aa queries) fall back to
+                # the scan wavefront permanently for this run.
+                from ..ops.scan_dp import ScanEngine
 
-            engine = ScanEngine(cfg)
-            res = engine.score_batch(xs, ys, m, n)
-        pend.append((idxs, (res["score"], res["j"])))
-        cells += len(qb) * int(n.sum())
+                engine = ScanEngine(cfg)
+                res = engine.score_batch(xs, ys, m, n)
+            pend.append((idxs, (res["score"], res["j"])))
+            cells += len(qb) * int(n.sum())
         if len(pend) > DEPTH:
-            collect_one()
+            collect_group()
     while pend:
-        collect_one()
+        collect_group()
     t_total = time.perf_counter() - t_start if order else 0.0
 
     if ckpt_f is not None:
         ckpt_f.close()
+
+    # Winner traceback (the reference's writer emits the TRACEBACK pos for
+    # every row — `read,pos_pred,score` with pos_pred = getPos() on
+    # x=entry/y=query): re-run the top-K hits through the full aligner with
+    # traceback in those exact roles, so pos_pred is the 1-based position
+    # in the QUERY where the greedy walk stops, bit-matching the probe
+    # built on the reference's own sources (benchmarks/compare_reference.py
+    # --mode uniprot, 64/64).
+    tb_top = args.top if args.traceback_top < 0 else args.traceback_top
+    tb_rows = {}
+    ranked = sorted(range(len(entries)), key=lambda k: -results[k][0])
+    if tb_top > 0 and entries:
+        from ..models.swaligner import BatchSWAligner
+
+        top_idx = ranked[:tb_top]
+        try:
+            bat = BatchSWAligner(cfg)
+            res_tb = bat.align_batch(
+                [entries[k][1] for k in top_idx],
+                [query] * len(top_idx),
+                traceback=True,
+            )
+            for k, r in zip(top_idx, res_tb):
+                if int(r.score) != results[k][0]:
+                    raise RuntimeError(
+                        f"traceback rescore mismatch on {entries[k][0]}: "
+                        f"{int(r.score)} != {results[k][0]}"
+                    )
+                tb_rows[k] = (r.pos, r.consensus_x, r.consensus_y)
+        except ValueError as e:
+            # e.g. a titin-class winner whose move tensor cannot fit; keep
+            # the score-only rows rather than failing the whole run.
+            print(f"traceback-top skipped: {e}")
+
     os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
     with open(args.output, "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["name", "len", "score", "pos_end"])
-        for (name, seq), (score, pos) in zip(entries, results):
-            w.writerow([name, len(seq), score, pos])
+        w.writerow(["name", "len", "score", "pos_end", "pos_pred", "consensus_x", "consensus_y"])
+        for k, ((name, seq), (score, pos)) in enumerate(zip(entries, results)):
+            pp, cx, cy = tb_rows.get(k, ("", "", ""))
+            w.writerow([name, len(seq), score, pos, pp, cx, cy])
 
     # t_total == 0 when --resume restored every protein (nothing scored).
     gcups = cells / t_total / 1e9 if t_total else 0.0
     print(f"Scored {cells/1e9:.3f} Gcells in {t_total:.3f}s: {gcups:.2f} GCUPS")
-    top = sorted(range(len(entries)), key=lambda k: -results[k][0])[: args.top]
+    top = ranked[: args.top]
     print("top hits:")
     for k in top:
         name, seq = entries[k]
-        print(f"  {name}  len={len(seq)}  score={results[k][0]}  pos_end={results[k][1]}")
+        extra = f"  pos_pred={tb_rows[k][0]}" if k in tb_rows else ""
+        print(f"  {name}  len={len(seq)}  score={results[k][0]}  pos_end={results[k][1]}{extra}")
     print(f"Done, output file see: {args.output}")
     return 0
 

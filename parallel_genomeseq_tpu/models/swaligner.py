@@ -243,7 +243,13 @@ class BatchSWAligner:
                 walk_us = (time.perf_counter() - t1) * 1e6
             results = _assemble(
                 len(reads), traceback, score, ii, jj, pos, consensus,
-                Timings(sweep_us=sweep_us, walk_us=walk_us),
+                Timings(
+                    sweep_us=sweep_us, walk_us=walk_us,
+                    levels_us=(
+                        strip_res.get("level_us", ())
+                        if strip_res is not None else ()
+                    ),
+                ),
             )
             return _PendingBatch(len(reads), traceback, t0, results=results)
 

@@ -287,17 +287,21 @@ def walk_strip_level_affine(moves, x_strip, y_bn, base_row, state, *,
 
 
 def decode_consensus(cx, cy, steps) -> List[Tuple[str, str]]:
-    """Device buffers -> per-lane (consensus_x, consensus_y) strings."""
-    cx = np.asarray(cx)
-    cy = np.asarray(cy)
-    steps = np.asarray(steps)
-    out = []
-    for b in range(cx.shape[1]):
-        k = int(steps[b])
-        out.append(
-            (
-                cx[:k, b].tobytes().decode("ascii"),
-                cy[:k, b].tobytes().decode("ascii"),
-            )
-        )
-    return out
+    """Device buffers -> per-lane (consensus_x, consensus_y) strings.
+
+    Vectorized: ONE transpose + ONE bytes->str decode per buffer, then B
+    cheap string slices — the round-3 per-lane loop (B numpy column slices,
+    each with its own .tobytes().decode) was the measured host bottleneck of
+    the seed-and-extend path. latin-1 decoding is an exact byte passthrough
+    (contents are ASCII consensus chars, '-' gaps, and NUL padding the
+    slices drop).
+    """
+    cx = np.ascontiguousarray(np.asarray(cx).T)
+    cy = np.ascontiguousarray(np.asarray(cy).T)
+    S = cx.shape[1]
+    sx = cx.tobytes().decode("latin-1")
+    sy = cy.tobytes().decode("latin-1")
+    return [
+        (sx[b * S : b * S + k], sy[b * S : b * S + k])
+        for b, k in enumerate(np.asarray(steps).tolist())
+    ]

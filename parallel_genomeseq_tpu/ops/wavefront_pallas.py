@@ -307,24 +307,94 @@ def _call_uniform_affine(xs, ys, *, match, mismatch, gap, gopen, interpret,
     )(xs, ys)
 
 
-def _kernel_profile(prof_ref, y_ref, best_ref, bestd_ref,
-                    *, nblk: int, alphabet: Tuple[int, ...], worst: int,
-                    gap: int, slot: int = 0):
-    """Substitution-matrix scoring via per-read score profiles:
-    prof[c, r, b] = S[x_b[r], alphabet[c]]. The per-step score is selected by
-    comparing window chars against each alphabet byte (A selects; A=4 for
-    DNA, ~25 for protein) — no gathers in the hot loop."""
-    A, M, B = prof_ref.shape
+PROF_WORDS = 8  # packed profile words per row: 4 biased score bytes each
+PROF_CODES = 4 * PROF_WORDS  # compact y-code space (0 = invalid/pad)
+
+
+def _packed_luts(matrix, alphabet_bytes):
+    """Host-side LUTs for the packed profile representation.
+
+    y bytes are re-encoded to compact codes (0 = invalid/pad, c+1 =
+    alphabet[c]); packed_lut[xbyte, w] packs the biased scores
+    (S[x, alphabet[4w+k-1]] - worst, one byte per k) of y codes 4w..4w+3
+    into one int32 word. Code 0 and codes beyond the alphabet hold byte 0 ==
+    worst, and any x byte outside the alphabet maps to an all-zero row, so
+    the mask-free pad-decay argument of _make_body carries over unchanged
+    (j < 1 window zeros decode as code 0 -> worst).
+
+    The packed form replaces round-3's A-way compare+select chain (~2A VPU
+    ops per cell for A ~ 24 protein letters) with a depth-3 word-select tree
+    plus a byte extract (~19 ops), and shrinks the profile VMEM footprint
+    A/8-fold. Returns (packed_lut (256, 8) int32, encode_lut (256,) uint8).
+    """
+    S = np.asarray(matrix).astype(np.int64)
+    A = len(alphabet_bytes)
+    worst = int(S.min())
+    if A + 1 > PROF_CODES:
+        raise EnvelopeError(
+            f"alphabet size {A} exceeds the packed profile's "
+            f"{PROF_CODES - 1}-code space"
+        )
+    if int(S.max()) - worst > 255:
+        raise EnvelopeError(
+            "substitution matrix span exceeds the packed profile's byte "
+            "range (max - min > 255)"
+        )
+    biased = np.zeros((256, PROF_CODES), np.int64)  # [xbyte, ycode]
+    for ci, cb in enumerate(alphabet_bytes):
+        for ri, rb in enumerate(alphabet_bytes):
+            biased[rb, ci + 1] = S[ri, ci] - worst
+    packed = np.zeros((256, PROF_WORDS), np.int64)
+    for w in range(PROF_WORDS):
+        for k in range(4):
+            packed[:, w] |= biased[:, 4 * w + k] << (8 * k)
+    packed_lut = ((packed + 2**31) % 2**32 - 2**31).astype(np.int32)
+    encode_lut = np.zeros(256, np.uint8)
+    for ci, cb in enumerate(alphabet_bytes):
+        encode_lut[cb] = ci + 1
+    return packed_lut, encode_lut
+
+
+def _packed_sow(pprof_ref, worst: int, slot: int):
+    """score_of_window closure over a packed profile block (8, S, B).
+
+    ywin carries compact y codes (0..31). Selection = binary tree on code
+    bits 4/3/2 over the 8 packed words (7 selects), then byte extraction by
+    the low 2 bits via two constant-shift selects (constant shifts only —
+    the v5e Mosaic story for vector-amount shifts is unproven, and constants
+    cost the same here). Biased bytes are unscaled in VMEM; the slot scale
+    is applied at extraction (v * s + worst * s == score * s)."""
+    W, S_, B = pprof_ref.shape
+    pw = [pprof_ref[w] for w in range(PROF_WORDS)]
     s = slot or 1
-    prof = prof_ref[:] * s if slot else prof_ref[:]
     worst_s = np.asarray(worst * s, jnp.int32)
+    sfac = np.asarray(s, jnp.int32)
+    c255 = np.asarray(255, jnp.int32)
 
-    def score_of_window(ywin):
-        sc = jnp.full((M, B), worst_s, jnp.int32)
-        for c in range(A):
-            sc = jnp.where(ywin == np.int32(alphabet[c]), prof[c], sc)
-        return sc
+    def sow(ywin):
+        b2 = (ywin & 16) != 0
+        t0 = [jnp.where(b2, pw[4 + i], pw[i]) for i in range(4)]
+        b1 = (ywin & 8) != 0
+        t1 = [jnp.where(b1, t0[2 + i], t0[i]) for i in range(2)]
+        word = jnp.where((ywin & 4) != 0, t1[1], t1[0])
+        t = jnp.where((ywin & 2) != 0, word >> 16, word)
+        v = jnp.where((ywin & 1) != 0, t >> 8, t) & c255
+        if s == 1:
+            return v + worst_s
+        return v * sfac + worst_s
 
+    return sow, (S_, B)
+
+
+def _kernel_profile(pprof_ref, y_ref, best_ref, bestd_ref,
+                    *, nblk: int, worst: int, gap: int, slot: int = 0):
+    """Substitution-matrix scoring via PACKED per-read score profiles (see
+    _packed_luts): y_ref holds compact codes, pprof_ref the (8, M, B) packed
+    words — no gathers in the hot loop, ~19 VPU ops per cell regardless of
+    alphabet size (the round-3 A-way selector cost ~2A)."""
+    W, M, B = pprof_ref.shape
+    s = slot or 1
+    score_of_window, _ = _packed_sow(pprof_ref, worst, slot)
     outer = _make_body(score_of_window, y_ref, M, B, slot=slot)
     zeros = jnp.zeros((M, B), jnp.int32)
     init = (zeros, zeros, zeros, zeros, zeros)
@@ -339,18 +409,17 @@ def _kernel_profile(prof_ref, y_ref, best_ref, bestd_ref,
         bestd_ref[:] = bestd
 
 
-def _kernel_profile_affine(prof_ref, y_ref, best_ref, bestd_ref,
-                           *, nblk: int, alphabet: Tuple[int, ...],
-                           worst: int, gap: int, gopen: int, slot: int = 0):
+def _kernel_profile_affine(pprof_ref, y_ref, best_ref, bestd_ref,
+                           *, nblk: int, worst: int, gap: int, gopen: int,
+                           slot: int = 0):
     """Affine-gap (Gotoh) kernel with substitution-matrix scoring via
-    per-read score profiles — the exact swps3 protein configuration
+    PACKED per-read score profiles — the exact swps3 protein configuration
     (BLOSUM + open/extend gaps, e.g. 12/2) on the fast path. Same H/E/F
-    carries and mask-free argument as _kernel_uniform_affine; same profile
-    selection as _kernel_profile (no gathers in the hot loop)."""
-    A, M, B = prof_ref.shape
+    carries and mask-free argument as _kernel_uniform_affine; same packed
+    word-select as _kernel_profile (no gathers in the hot loop)."""
+    W, M, B = pprof_ref.shape
     s = slot or 1
-    prof = prof_ref[:] * s if slot else prof_ref[:]
-    worst_s = np.asarray(worst * s, jnp.int32)
+    sow, _ = _packed_sow(pprof_ref, worst, slot)
     gp = np.asarray(gap * s, jnp.int32)
     go = np.asarray(gopen * s, jnp.int32)
     zrow = jnp.zeros((1, B), jnp.int32)
@@ -363,9 +432,7 @@ def _kernel_profile_affine(prof_ref, y_ref, best_ref, bestd_ref,
             d = o * UNROLL + k
             yc = blk[k : k + 1, :]
             ywin = _shift_down(ywin, yc)
-            sc = jnp.full((M, B), worst_s, jnp.int32)
-            for c in range(A):
-                sc = jnp.where(ywin == np.int32(alphabet[c]), prof[c], sc)
+            sc = sow(ywin)
             s1 = _shift_down(h1, zrow)
             f1s = _shift_down(f1, zrow)
             e_d = jnp.maximum(h1 - go, e1) - gp
@@ -398,21 +465,26 @@ def _kernel_profile_affine(prof_ref, y_ref, best_ref, bestd_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("alphabet", "worst", "best_sub", "gap", "gopen", "interpret"),
+    static_argnames=("worst", "best_sub", "gap", "gopen", "interpret", "shared"),
 )
-def _call_profile_affine(prof, ys, *, alphabet, worst, best_sub, gap, gopen,
-                         interpret):
-    A, M, B = prof.shape
-    Ny = ys.shape[0]
+def _call_profile_affine(pprof, ys, *, worst, best_sub, gap, gopen,
+                         interpret, shared=False):
+    W, M, B_p = pprof.shape
+    Ny, B = ys.shape
     nblk = (M + Ny + UNROLL - 2) // UNROLL
     nblk = min(nblk, Ny // UNROLL)
     slot = _pick_slot(nblk * UNROLL, max(best_sub, 1) * M)
     kernel = functools.partial(
-        _kernel_profile_affine, nblk=nblk, alphabet=alphabet, worst=worst,
+        _kernel_profile_affine, nblk=nblk, worst=worst,
         gap=gap, gopen=gopen, slot=slot,
     )
     tail, out_specs = _common_specs(M, Ny)
-    p_spec = pl.BlockSpec((A, M, LANE), lambda b: (0, 0, b), memory_space=pltpu.VMEM)
+    if shared:
+        p_spec = pl.BlockSpec((W, M, LANE), lambda b: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        p_spec = pl.BlockSpec((W, M, LANE), lambda b: (0, 0, b),
+                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(B // LANE,),
@@ -423,11 +495,11 @@ def _call_profile_affine(prof, ys, *, alphabet, worst, best_sub, gap, gopen,
             jax.ShapeDtypeStruct((M, B), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=(20 + A) * (M + Ny) * M * B, bytes_accessed=M * B * 16,
+            flops=27 * (M + Ny) * M * B, bytes_accessed=M * B * 16,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(prof, ys)
+    )(pprof, ys)
 
 
 def _kernel_uniform_moves(x_ref, y_ref, best_ref, bestd_ref, moves_ref,
@@ -581,29 +653,45 @@ def _call_uniform(xs, ys, *, match, mismatch, gap, interpret, track_pos=True,
 
 
 @jax.jit
-def _profile_gather(xs, lut):
-    """(M, B) uint8 query block + (256, A) int32 LUT -> (A, M, B) int32
-    substitution profile, gathered in XLA on device (the per-shard mesh
-    path, score_lanes_profile_jit, uses the same pattern). Keeping the
-    gather on device means only the raw bytes cross the host link."""
-    return jnp.transpose(lut[xs.astype(jnp.int32)], (2, 0, 1))
+def _profile_gather(xs, packed_lut):
+    """(M, B) uint8 query block + (256, 8) int32 packed LUT -> (8, M, B)
+    int32 packed substitution profile, gathered in XLA on device (the
+    per-shard mesh path, score_lanes_profile_jit, uses the same pattern).
+    Keeping the gather on device means only the raw bytes cross the host
+    link (the round-3 root cause of the 0.55 s/batch UNIPROT stall)."""
+    return jnp.transpose(packed_lut[xs.astype(jnp.int32)], (2, 0, 1))
+
+
+@jax.jit
+def _encode_y(ys, encode_lut):
+    """(Ny, B) raw reference bytes -> compact y codes (uint8, 0 = pad or
+    out-of-alphabet), gathered in XLA on device."""
+    return encode_lut[ys.astype(jnp.int32)]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("alphabet", "worst", "best_sub", "gap", "interpret")
+    jax.jit, static_argnames=("worst", "best_sub", "gap", "interpret", "shared")
 )
-def _call_profile(prof, ys, *, alphabet, worst, best_sub, gap, interpret):
-    A, M, B = prof.shape
-    Ny = ys.shape[0]
+def _call_profile(pprof, ys, *, worst, best_sub, gap, interpret, shared=False):
+    """shared=True: pprof is a single (8, M, LANE) block reused by every
+    lane block (all lanes share one query — the UNIPROT database scan),
+    saving the (8, M, B) broadcast in HBM."""
+    W, M, B_p = pprof.shape
+    Ny, B = ys.shape
     nblk = (M + Ny + UNROLL - 2) // UNROLL
     nblk = min(nblk, Ny // UNROLL)
     slot = _pick_slot(nblk * UNROLL, max(best_sub, 1) * M)
     kernel = functools.partial(
-        _kernel_profile, nblk=nblk, alphabet=alphabet, worst=worst, gap=gap,
+        _kernel_profile, nblk=nblk, worst=worst, gap=gap,
         slot=slot,
     )
     tail, out_specs = _common_specs(M, Ny)
-    p_spec = pl.BlockSpec((A, M, LANE), lambda b: (0, 0, b), memory_space=pltpu.VMEM)
+    if shared:
+        p_spec = pl.BlockSpec((W, M, LANE), lambda b: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        p_spec = pl.BlockSpec((W, M, LANE), lambda b: (0, 0, b),
+                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(B // LANE,),
@@ -614,11 +702,11 @@ def _call_profile(prof, ys, *, alphabet, worst, best_sub, gap, interpret):
             jax.ShapeDtypeStruct((M, B), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=(14 + A) * (M + Ny) * M * B, bytes_accessed=M * B * 16,
+            flops=21 * (M + Ny) * M * B, bytes_accessed=M * B * 16,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(prof, ys)
+    )(pprof, ys)
 
 
 # ---------------------------------------------------------------------------
@@ -663,24 +751,6 @@ def _uniform_sow(x_ref, match: int, mismatch: int, slot: int):
     return lambda ywin: jnp.where(x == ywin, mt, mm), x_ref.shape
 
 
-def _profile_sow(prof_ref, alphabet, worst: int, slot: int):
-    """score_of_window closure for substitution-matrix scoring via per-read
-    score profiles (same selector as _kernel_profile: compare the window
-    chars against each alphabet byte — no gathers in the hot loop)."""
-    A, S, B = prof_ref.shape
-    s = slot or 1
-    prof = prof_ref[:] * s if slot else prof_ref[:]
-    worst_s = np.asarray(worst * s, jnp.int32)
-
-    def sow(ywin):
-        sc = jnp.full((S, B), worst_s, jnp.int32)
-        for c in range(A):
-            sc = jnp.where(ywin == np.int32(alphabet[c]), prof[c], sc)
-        return sc
-
-    return sow, (S, B)
-
-
 def _kernel_strips(x_ref, y_ref, best_ref, bestd_ref,
                    lastrow_ref, *, nblk: int, match: int, mismatch: int,
                    gap: int, slot: int = 0):
@@ -689,15 +759,14 @@ def _kernel_strips(x_ref, y_ref, best_ref, bestd_ref,
                  nblk=nblk, gap=gap, slot=slot)
 
 
-def _kernel_strips_profile(prof_ref, y_ref, best_ref, bestd_ref,
-                           lastrow_ref, *, nblk: int,
-                           alphabet: Tuple[int, ...], worst: int,
+def _kernel_strips_profile(pprof_ref, y_ref, best_ref, bestd_ref,
+                           lastrow_ref, *, nblk: int, worst: int,
                            gap: int, slot: int = 0):
     """Substitution-matrix strip kernel: long protein queries (> MAX_M
     residues, e.g. titin-class) stay on the Pallas fast path instead of
     falling back to the scan engine (the UNIPROT custom-scoring requirement,
-    src/mpi_sw_solve_uniprot.cpp:120-123)."""
-    sow, shape = _profile_sow(prof_ref, alphabet, worst, slot)
+    src/mpi_sw_solve_uniprot.cpp:120-123). Packed profile (see _packed_luts)."""
+    sow, shape = _packed_sow(pprof_ref, worst, slot)
     _strips_body(sow, shape, y_ref, best_ref, bestd_ref, None, lastrow_ref,
                  nblk=nblk, gap=gap, slot=slot)
 
@@ -716,15 +785,15 @@ def _kernel_strips_affine(x_ref, y_ref, best_ref, bestd_ref,
                  flastrow_ref=flastrow_ref)
 
 
-def _kernel_strips_profile_affine(prof_ref, y_ref, best_ref, bestd_ref,
+def _kernel_strips_profile_affine(pprof_ref, y_ref, best_ref, bestd_ref,
                                   lastrow_ref, flastrow_ref, *, nblk: int,
-                                  alphabet: Tuple[int, ...], worst: int,
-                                  gap: int, gopen: int, slot: int = 0):
+                                  worst: int, gap: int, gopen: int,
+                                  slot: int = 0):
     """Affine + substitution-matrix strip kernel: titin-class protein
-    queries with open/extend gaps stay on the Pallas fast path. Profile
-    scoring of _kernel_strips_profile + the dual H/F int32 boundary rows of
-    _kernel_strips_affine."""
-    sow, shape = _profile_sow(prof_ref, alphabet, worst, slot)
+    queries with open/extend gaps stay on the Pallas fast path. Packed
+    profile scoring of _kernel_strips_profile + the dual H/F int32 boundary
+    rows of _kernel_strips_affine."""
+    sow, shape = _packed_sow(pprof_ref, worst, slot)
     _strips_body(sow, shape, y_ref, best_ref, bestd_ref, None, lastrow_ref,
                  nblk=nblk, gap=gap, slot=slot, gopen=gopen,
                  flastrow_ref=flastrow_ref)
@@ -983,10 +1052,10 @@ def _call_strips_affine(xs, ys, *, match, mismatch, gap, gopen, interpret):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("alphabet", "worst", "best_sub", "gap", "interpret"),
+    static_argnames=("worst", "best_sub", "gap", "interpret"),
 )
-def _call_strips_profile(prof, ys, *, alphabet, worst, best_sub, gap, interpret):
-    A, M, B = prof.shape
+def _call_strips_profile(pprof, ys, *, worst, best_sub, gap, interpret):
+    W, M, B = pprof.shape
     Ny = ys.shape[0]
     S = STRIP_S
     nstrips = M // S
@@ -996,7 +1065,7 @@ def _call_strips_profile(prof, ys, *, alphabet, worst, best_sub, gap, interpret)
     # uses); slot packing engages only when the packed value still fits.
     slot = _pick_slot(nblk * UNROLL, max(best_sub, 1) * M)
     kernel = functools.partial(
-        _kernel_strips_profile, nblk=nblk, alphabet=alphabet, worst=worst,
+        _kernel_strips_profile, nblk=nblk, worst=worst,
         gap=gap, slot=slot,
     )
     Nlr = Ny + 4 * UNROLL
@@ -1004,7 +1073,7 @@ def _call_strips_profile(prof, ys, *, alphabet, worst, best_sub, gap, interpret)
         kernel,
         grid=(B // LANE, nstrips),
         in_specs=[
-            pl.BlockSpec((A, S, LANE), lambda b, s: (0, s, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, S, LANE), lambda b, s: (0, s, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((Ny, LANE), lambda b, s: (0, b), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -1017,34 +1086,34 @@ def _call_strips_profile(prof, ys, *, alphabet, worst, best_sub, gap, interpret)
         ],
         scratch_shapes=[pltpu.VMEM((Nlr, LANE), jnp.int32)],
         cost_estimate=pl.CostEstimate(
-            flops=(16 + A) * (M // S) * (S + Ny) * S * B,
-            bytes_accessed=M * B * 16 * A, transcendentals=0,
+            flops=23 * (M // S) * (S + Ny) * S * B,
+            bytes_accessed=M * B * 16 * W, transcendentals=0,
         ),
         interpret=interpret,
-    )(prof, ys)
+    )(pprof, ys)
     return best, bestd
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("alphabet", "worst", "best_sub", "gap", "gopen", "interpret"),
+    static_argnames=("worst", "best_sub", "gap", "gopen", "interpret"),
 )
-def _call_strips_profile_affine(prof, ys, *, alphabet, worst, best_sub, gap,
+def _call_strips_profile_affine(pprof, ys, *, worst, best_sub, gap,
                                 gopen, interpret):
-    A, M, B = prof.shape
+    W, M, B = pprof.shape
     Ny = ys.shape[0]
-    # Half-height strips: the (A, S, LANE) profile blocks plus the affine
-    # F scratch and E/F carries overran VMEM at S=256 (TPU worker crash at
-    # first execution, reproducible); S=128 halves every per-strip buffer.
+    # Half-height strips: the round-3 (A, S, LANE) profile blocks plus the
+    # affine F scratch and E/F carries overran VMEM at S=256 (TPU worker
+    # crash at first execution, reproducible); S=128 halves every per-strip
+    # buffer. The packed profile is 3x smaller again (8 vs 24 planes).
     S = STRIP_S_PA
     nstrips = M // S
     nblk = Ny // UNROLL
-    # slot=0: packed argmax would materialize a second slot-scaled profile
-    # copy in VMEM (see above). The compare-based argmax costs ~2 extra
-    # ops/cell instead.
+    # slot=0: the compare-based argmax costs ~2 extra ops/cell and keeps
+    # this rarely-hot kernel simple.
     slot = 0
     kernel = functools.partial(
-        _kernel_strips_profile_affine, nblk=nblk, alphabet=alphabet,
+        _kernel_strips_profile_affine, nblk=nblk,
         worst=worst, gap=gap, gopen=gopen, slot=slot,
     )
     Nlr = Ny + 4 * UNROLL
@@ -1052,7 +1121,7 @@ def _call_strips_profile_affine(prof, ys, *, alphabet, worst, best_sub, gap,
         kernel,
         grid=(B // LANE, nstrips),
         in_specs=[
-            pl.BlockSpec((A, S, LANE), lambda b, s: (0, s, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, S, LANE), lambda b, s: (0, s, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((Ny, LANE), lambda b, s: (0, b), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -1068,11 +1137,11 @@ def _call_strips_profile_affine(prof, ys, *, alphabet, worst, best_sub, gap,
             pltpu.VMEM((Nlr, LANE), jnp.int32),  # F boundary rows
         ],
         cost_estimate=pl.CostEstimate(
-            flops=(22 + A) * (M // S) * (S + Ny) * S * B,
-            bytes_accessed=M * B * 16 * A, transcendentals=0,
+            flops=29 * (M // S) * (S + Ny) * S * B,
+            bytes_accessed=M * B * 16 * W, transcendentals=0,
         ),
         interpret=interpret,
-    )(prof, ys)
+    )(pprof, ys)
     return best, bestd
 
 
@@ -1419,7 +1488,7 @@ def score_lanes_jit(x_lanes, y_lanes, *, match: int, mismatch: int, gap: int,
     return score[:B0], i[:B0], j[:B0]
 
 
-def score_lanes_profile_jit(x_lanes, y_lanes, lut, *, alphabet: Tuple[int, ...],
+def score_lanes_profile_jit(x_lanes, y_lanes, packed_lut, encode_lut, *,
                             worst: int, best_sub: int, gap: int,
                             interpret: bool, gopen: int = 0):
     """Traceable substitution-matrix batch scorer for use INSIDE jit /
@@ -1427,12 +1496,13 @@ def score_lanes_profile_jit(x_lanes, y_lanes, lut, *, alphabet: Tuple[int, ...],
     run BLOSUM-class scoring (the UNIPROT workload,
     src/mpi_sw_solve_uniprot.cpp:120-123) on the Pallas per-shard path.
 
-    lut: (256, A) int32 score columns (lut[byte, c] = S[row(byte), c], worst
-    for bytes outside the alphabet — including the X_PAD/Y_PAD bytes, which
-    keeps the mask-free pad-decay argument intact). The per-read score
-    profile (A, M, B) is gathered in XLA outside the kernel, exactly like
-    PallasEngine.prepare's numpy version. gopen > 0 selects the affine
-    kernel. Returns (score, i, j), each (B0,) int32.
+    packed_lut / encode_lut: the (256, 8) int32 / (256,) uint8 LUT pair from
+    _packed_luts (out-of-alphabet bytes — including the X_PAD/Y_PAD bytes —
+    decode to worst, which keeps the mask-free pad-decay argument intact).
+    The packed (8, M, B) profile and compact y codes are gathered in XLA
+    outside the kernel, exactly like PallasEngine.score_prepared's device
+    path. gopen > 0 selects the affine kernel. Returns (score, i, j), each
+    (B0,) int32.
     """
     B0, M0 = x_lanes.shape
     N0 = y_lanes.shape[1]
@@ -1445,16 +1515,68 @@ def score_lanes_profile_jit(x_lanes, y_lanes, lut, *, alphabet: Tuple[int, ...],
     B = _round_up(max(B0, LANE), LANE)
     xs = jnp.full((M, B), 1, jnp.uint8).at[:M0, :B0].set(x_lanes.T)  # X_PAD
     ys = jnp.full((Ny, B), 2, jnp.uint8).at[:N0, :B0].set(y_lanes.T)  # Y_PAD
-    prof = jnp.transpose(lut[xs], (2, 0, 1))  # (A, M, B)
+    pprof = jnp.transpose(packed_lut[xs.astype(jnp.int32)], (2, 0, 1))
+    ycodes = encode_lut[ys.astype(jnp.int32)]
     if gopen:
         best, bestd = _call_profile_affine(
-            prof, ys, alphabet=alphabet, worst=worst, best_sub=best_sub,
+            pprof, ycodes, worst=worst, best_sub=best_sub,
             gap=gap, gopen=gopen, interpret=interpret,
         )
     else:
         best, bestd = _call_profile(
-            prof, ys, alphabet=alphabet, worst=worst, best_sub=best_sub,
+            pprof, ycodes, worst=worst, best_sub=best_sub,
             gap=gap, interpret=interpret,
+        )
+    score, i, j = _reduce_best(best, bestd)
+    return score[:B0], i[:B0], j[:B0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("N", "worst", "best_sub", "gap", "gopen", "interpret"),
+)
+def score_db_windows_jit(flat_db, offs, lens, qblock, packed_lut, encode_lut,
+                         *, N: int, worst: int, best_sub: int, gap: int,
+                         gopen: int, interpret: bool):
+    """Score one batch of database entries gathered ON DEVICE from a
+    resident flat database — the TPU-native replacement for the reference's
+    per-rank file loop (src/mpi_sw_solve_uniprot.cpp:95-138).
+
+    The whole database is uploaded once as a flat uint8 array; each batch
+    ships only (offs, lens) int32 vectors (a few KB) over the host link and
+    the (N, B) windows are built by an XLA gather, encoded to compact y
+    codes, and scored by the shared-query packed-profile kernel. This
+    removes the per-batch sequence upload that bounded round-3's UNIPROT
+    runs (~0.5 MB/batch through the ~28 ms remote tunnel).
+
+    flat_db: (T,) uint8 concatenated entries. offs/lens: (B0,) int32 entry
+    windows (pad lanes: len 0). qblock: (M, 1) uint8 query, X_PAD-padded to
+    a multiple of 8. N: static padded window length (>= lens.max()).
+    Returns (score, i, j), each (B0,) int32 — identical to score_batch on
+    the same (query, entry) pairs.
+    """
+    B0 = offs.shape[0]
+    M = qblock.shape[0]
+    Ny = _round_up(max(N, 8) + M + UNROLL, UNROLL)
+    B = _round_up(max(B0, LANE), LANE)
+    offs_p = jnp.zeros((B,), jnp.int32).at[:B0].set(offs)
+    lens_p = jnp.zeros((B,), jnp.int32).at[:B0].set(lens)
+    t = jnp.arange(Ny, dtype=jnp.int32)[:, None]
+    idx = jnp.clip(offs_p[None, :] + t, 0, flat_db.shape[0] - 1)
+    vals = flat_db[idx]
+    ys = jnp.where(t < lens_p[None, :], vals, np.uint8(2))  # Y_PAD beyond
+    ycodes = encode_lut[ys.astype(jnp.int32)]
+    qb = jnp.broadcast_to(qblock, (M, LANE))
+    pprof = jnp.transpose(packed_lut[qb.astype(jnp.int32)], (2, 0, 1))
+    if gopen:
+        best, bestd = _call_profile_affine(
+            pprof, ycodes, worst=worst, best_sub=best_sub, gap=gap,
+            gopen=gopen, interpret=interpret, shared=True,
+        )
+    else:
+        best, bestd = _call_profile(
+            pprof, ycodes, worst=worst, best_sub=best_sub, gap=gap,
+            interpret=interpret, shared=True,
         )
     score, i, j = _reduce_best(best, bestd)
     return score[:B0], i[:B0], j[:B0]
@@ -1663,7 +1785,11 @@ class PallasEngine:
             jnp.zeros((B,), jnp.int32),
         )
         zero_row = np.zeros(rows.shape[1:], np.int16)
+        import time as _time
+
+        level_us = [0.0] * nstrips  # top strip first (walk order)
         for s in range(nstrips - 1, -1, -1):
+            t_lvl = _time.perf_counter()
             ih = np.asarray(state[0])
             ah = np.asarray(state[3])
             if not (ah & (ih - 1 >= s * S)).any():
@@ -1687,10 +1813,12 @@ class PallasEngine:
                 if not (ah & (ih - 1 >= s * S)).any():
                     break
             del moves
+            level_us[nstrips - 1 - s] = (_time.perf_counter() - t_lvl) * 1e6
         _, _, pos, _, cx, cy, steps = state
         return {
             "score": score, "i": res["i"], "j": res["j"], "pos": pos,
             "cx": cx, "cy": cy, "steps": steps, "B0": prep["B0"],
+            "level_us": tuple(level_us),
         }
 
     def score_batch_strip_affine_moves(self, x_bm, y_bn, m, n, *,
@@ -1758,7 +1886,11 @@ class PallasEngine:
         # Strip 0's incoming F row is the forward pass's "no run" init value
         # (see _strips_body): anything <= -gopen makes the open branch win.
         nof_row = np.full(frows.shape[1:], -(gopen + gap + 1), np.int16)
+        import time as _time
+
+        level_us = [0.0] * nstrips  # top strip first (walk order)
         for s in range(nstrips - 1, -1, -1):
+            t_lvl = _time.perf_counter()
             ih = np.asarray(state[0])
             ah = np.asarray(state[4])
             if not (ah & (ih - 1 >= s * S)).any():
@@ -1783,10 +1915,12 @@ class PallasEngine:
                 if not (ah & (ih - 1 >= s * S)).any():
                     break
             del moves
+            level_us[nstrips - 1 - s] = (_time.perf_counter() - t_lvl) * 1e6
         _, _, pos, _, _, cx, cy, steps = state
         return {
             "score": score, "i": res["i"], "j": res["j"], "pos": pos,
             "cx": cx, "cy": cy, "steps": steps, "B0": prep["B0"],
+            "level_us": tuple(level_us),
         }
 
     def prepare(self, x_bm, y_bn, m, n, device: bool = False):
@@ -1840,12 +1974,11 @@ class PallasEngine:
         ys = np.full((Ny, B), 2, np.uint8)  # Y_PAD
         ys[:N0, :B0] = y_bn.T
         # Substitution-matrix scoring ships the raw (M, B) uint8 query block;
-        # the (A, M, B) int32 profile is gathered in XLA ON DEVICE inside
-        # score_prepared (same pattern as score_lanes_profile_jit). Gathering
-        # on host would multiply the per-batch host->device transfer by
-        # sizeof(int32) * |alphabet| (14 MB vs 0.14 MB at the UNIPROT shape,
-        # B=1024) — through the remote tunnel that made solve_uniprot
-        # bandwidth-bound at ~0.55 s/batch.
+        # the (8, M, B) packed int32 profile AND the compact y codes are
+        # gathered in XLA ON DEVICE inside score_prepared (same pattern as
+        # score_lanes_profile_jit). Gathering on host would multiply the
+        # per-batch host->device transfer by sizeof(int32) * words (the
+        # round-3 root cause of solve_uniprot's 0.55 s/batch stall).
         first = xs
         from ..utils.logging import vlog
 
@@ -1857,35 +1990,35 @@ class PallasEngine:
         if device:
             args = [jax.device_put(a) for a in args]
             if not self.cfg.is_uniform:
-                # Device-resident prep: gather the profile once up front so
-                # repeated score_prepared calls (benchmarks, pipelines that
-                # re-score one batch) pay the gather a single time.
-                args[0] = _profile_gather(args[0], self._lut())
+                # Device-resident prep: gather the packed profile and encode
+                # the y codes once up front so repeated score_prepared calls
+                # (benchmarks, pipelines that re-score one batch) pay the
+                # gathers a single time.
+                plut, elut = self._lut()
+                args = [_profile_gather(args[0], plut),
+                        _encode_y(args[1], elut)]
         return {"args": args, "B0": B0, "strips": strips,
                 "m": np.asarray(m, np.int32), "n": np.asarray(n, np.int32)}
 
     def _lut(self):
-        """(256, A) int32 substitution LUT, device-resident (built once per
-        engine; rows = raw query bytes, cols = alphabet index). Unknown
-        residues score as the matrix minimum."""
+        """Packed-profile LUT pair (see _packed_luts), device-resident
+        (built once per engine). Unknown residues score as the matrix
+        minimum; y bytes re-encode to compact codes with 0 = invalid."""
         if self._lut_dev is None:
             alpha = tuple(self.cfg.alphabet.encode("ascii"))
-            S = np.asarray(self.cfg.matrix).astype(np.int32)
-            lut = np.full((256, len(alpha)), int(S.min()), np.int32)
-            for ci in range(len(alpha)):
-                for ri, rb in enumerate(alpha):
-                    lut[rb, ci] = S[ri, ci]
-            self._lut_dev = jax.device_put(lut)
+            plut, elut = _packed_luts(self.cfg.matrix, alpha)
+            self._lut_dev = (jax.device_put(plut), jax.device_put(elut))
         return self._lut_dev
 
     def score_prepared(self, prep, need_pos: bool = True):
         args = prep["args"]
         if not self.cfg.is_uniform and args[0].ndim == 2:
-            # Device-side LUT gather: (M, B) uint8 -> (A, M, B) int32 score
-            # profile (cheap VPU work; keeps the host->device transfer at
-            # one byte per query cell). Device-resident preps arrive
-            # pre-gathered (ndim == 3).
-            args = [_profile_gather(args[0], self._lut()), args[1]]
+            # Device-side LUT gathers: (M, B) uint8 -> (8, M, B) int32
+            # packed score profile + (Ny, B) compact y codes (cheap VPU
+            # work; keeps the host->device transfer at one byte per query
+            # cell). Device-resident preps arrive pre-gathered (ndim == 3).
+            plut, elut = self._lut()
+            args = [_profile_gather(args[0], plut), _encode_y(args[1], elut)]
         B0 = prep["B0"]
         if prep.get("strips"):
             if self.cfg.is_uniform and self.cfg.is_affine:
@@ -1905,7 +2038,6 @@ class PallasEngine:
                 S = np.asarray(self.cfg.matrix).astype(np.int32)
                 best, bestd = _call_strips_profile_affine(
                     *args,
-                    alphabet=tuple(self.cfg.alphabet.encode("ascii")),
                     worst=int(S.min()), best_sub=int(S.max()),
                     gap=int(self.cfg.gap_penalty), gopen=int(self.cfg.gap_open),
                     interpret=self.interpret,
@@ -1914,7 +2046,6 @@ class PallasEngine:
                 S = np.asarray(self.cfg.matrix).astype(np.int32)
                 best, bestd = _call_strips_profile(
                     *args,
-                    alphabet=tuple(self.cfg.alphabet.encode("ascii")),
                     worst=int(S.min()), best_sub=int(S.max()),
                     gap=int(self.cfg.gap_penalty),
                     interpret=self.interpret,
@@ -1938,7 +2069,7 @@ class PallasEngine:
         elif self.cfg.is_affine:
             S = np.asarray(self.cfg.matrix).astype(np.int32)
             best, bestd = _call_profile_affine(
-                *args, alphabet=tuple(self.cfg.alphabet.encode("ascii")),
+                *args,
                 worst=int(S.min()), best_sub=int(S.max()),
                 gap=int(self.cfg.gap_penalty), gopen=int(self.cfg.gap_open),
                 interpret=self.interpret,
@@ -1958,9 +2089,8 @@ class PallasEngine:
             )
         else:
             S = np.asarray(self.cfg.matrix).astype(np.int32)
-            alpha = tuple(self.cfg.alphabet.encode("ascii"))
             best, bestd = _call_profile(
-                *args, alphabet=alpha, worst=int(S.min()),
+                *args, worst=int(S.min()),
                 best_sub=int(S.max()),
                 gap=int(self.cfg.gap_penalty), interpret=self.interpret,
             )

@@ -89,12 +89,12 @@ def _score_lanes_pallas(x_rm, y_pn, match, mismatch, gap, interpret, gopen=0):
     )
 
 
-def _score_lanes_pallas_profile(x_rm, y_pn, lut, alphabet, worst, best_sub,
-                                gap, interpret, gopen=0):
+def _score_lanes_pallas_profile(x_rm, y_pn, packed_lut, encode_lut, worst,
+                                best_sub, gap, interpret, gopen=0):
     """Substitution-matrix sibling of _score_lanes_pallas: score all (local
-    reads x local pieces) lanes with the Pallas profile kernel — BLOSUM-class
-    scoring on TPU meshes (the UNIPROT workload the reference distributes
-    via MPI, src/mpi_sw_solve_uniprot.cpp:65-138)."""
+    reads x local pieces) lanes with the Pallas packed-profile kernel —
+    BLOSUM-class scoring on TPU meshes (the UNIPROT workload the reference
+    distributes via MPI, src/mpi_sw_solve_uniprot.cpp:65-138)."""
     from ..ops.wavefront_pallas import score_lanes_profile_jit
 
     Rl, M = x_rm.shape
@@ -102,7 +102,7 @@ def _score_lanes_pallas_profile(x_rm, y_pn, lut, alphabet, worst, best_sub,
     xs = jnp.repeat(x_rm, Pl, axis=0)  # lane = r * Pl + p
     ys = jnp.tile(y_pn, (Rl, 1))
     score, i, j = score_lanes_profile_jit(
-        xs, ys, lut, alphabet=alphabet, worst=worst, best_sub=best_sub,
+        xs, ys, packed_lut, encode_lut, worst=worst, best_sub=best_sub,
         gap=gap, interpret=interpret, gopen=gopen,
     )
     return (
@@ -215,16 +215,14 @@ class MeshAligner:
                 )
         self.engine = engine
         if not cfg.is_uniform:
-            # (256, A) per-byte score columns for the Pallas profile path
-            # (mirrors PallasEngine.prepare's LUT; worst for out-of-alphabet
-            # bytes, including the pad bytes).
+            # Packed-profile LUT pair for the Pallas profile path (mirrors
+            # PallasEngine._lut; worst for out-of-alphabet bytes, including
+            # the pad bytes).
+            from ..ops.wavefront_pallas import _packed_luts
+
             alpha = tuple(cfg.alphabet.encode("ascii"))
-            S = np.asarray(cfg.matrix).astype(np.int32)
-            lut = np.full((256, len(alpha)), int(S.min()), np.int32)
-            for ci in range(len(alpha)):
-                for ri, rb in enumerate(alpha):
-                    lut[rb, ci] = S[ri, ci]
-            self._plut = jnp.asarray(lut)
+            plut_np, elut_np = _packed_luts(cfg.matrix, alpha)
+            self._plut = (jnp.asarray(plut_np), jnp.asarray(elut_np))
         else:
             self._plut = None
         self._fn_cache = {}
@@ -251,8 +249,7 @@ class MeshAligner:
                 match_i = int(self.cfg.match)
                 mismatch_i = int(self.cfg.mismatch)
             else:
-                plut = self._plut
-                alpha_t = tuple(self.cfg.alphabet.encode("ascii"))
+                plut, elut = self._plut
                 Smat = np.asarray(self.cfg.matrix)
                 worst_i = int(Smat.min())
                 best_i = int(Smat.max())
@@ -278,7 +275,7 @@ class MeshAligner:
         def run(x, y, m, n, lefts, pids):
             if use_pallas and not uniform:
                 score, i, j = _score_lanes_pallas_profile(
-                    x, y, plut, alpha_t, worst_i, best_i, gap_i, interpret,
+                    x, y, plut, elut, worst_i, best_i, gap_i, interpret,
                     gopen_i,
                 )  # (Rl, Pl)
             elif use_pallas:

@@ -28,6 +28,13 @@ class Timings:
 
     sweep_us: float = 0.0
     walk_us: float = 0.0
+    # Per-strip-level times (top strip first) for the checkpointed strip
+    # traceback paths — the TPU analog of the reference's per-anti-diagonal
+    # timing vector (src/aligner/similaritymatrix.cpp:241-244): inside a
+    # fused kernel per-diagonal times are unobservable, but the strip
+    # replay loop is host-driven and each level (moves recompute + lockstep
+    # walk, synced) is individually timed. Empty for single-strip calls.
+    levels_us: tuple = ()
 
     def __getitem__(self, i: int) -> float:
         return (self.sweep_us, self.walk_us)[i]

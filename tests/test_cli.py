@@ -81,6 +81,79 @@ def test_solve_uniprot_synthetic(tmp_path, rng, capsys):
     assert any("planted" in l for l in top)
 
 
+def test_solve_uniprot_resident_matches_scan(tmp_path, rng, capsys):
+    """The device-resident DB fast path (--engine pallas: flat-DB upload +
+    on-device window gather, round-4) must produce a byte-identical output
+    CSV to the legacy per-batch scan path, linear and affine."""
+    from parallel_genomeseq_tpu.cli.solve_uniprot import main
+
+    alpha = list("ARNDCQEGHILKMFPSTWYV")
+    query = "".join(rng.choice(alpha, 48))
+    qf = tmp_path / "q.fasta"
+    qf.write_text(">q\n" + query + "\n")
+    db = tmp_path / "db.fasta"
+    with open(db, "w") as f:
+        for k in range(13):  # odd count -> remainder batch exercises padding
+            ln = int(rng.integers(30, 200))
+            f.write(f">p{k}\n" + "".join(rng.choice(alpha, ln)) + "\n")
+        f.write(">planted\n" + query + "\n")
+    for extra in ([], ["--gap-open", "10", "--gap-penalty", "2"]):
+        out_s = tmp_path / "scan.csv"
+        out_p = tmp_path / "pallas.csv"
+        base = ["--platform", "cpu", "--query", str(qf), "--database",
+                str(db), "--batch-size", "4", "--pad-mult", "64"] + extra
+        assert main(base + ["--engine", "scan", "--output", str(out_s)]) == 0
+        assert main(base + ["--engine", "pallas", "--output", str(out_p)]) == 0
+        got = capsys.readouterr().out
+        assert "resident DB:" in got  # the fast path actually ran
+        assert out_p.read_text() == out_s.read_text()
+
+
+def test_solve_uniprot_traceback_top(tmp_path, rng, capsys):
+    """Top-K rows must carry the reference writer's pos_pred semantics:
+    traceback pos with x=entry, y=query (position in the QUERY), matching a
+    direct BatchSWAligner run in those roles. Other rows stay score-only."""
+    import csv as csv_mod
+
+    from parallel_genomeseq_tpu.cli.solve_uniprot import main
+    from parallel_genomeseq_tpu.models.swaligner import BatchSWAligner
+    from parallel_genomeseq_tpu.ops.substitution import blosum_config
+
+    alpha = list("ARNDCQEGHILKMFPSTWYV")
+    query = "".join(rng.choice(alpha, 60))
+    qf = tmp_path / "q.fasta"
+    qf.write_text(">q\n" + query + "\n")
+    db = tmp_path / "db.fasta"
+    names, seqs = [], []
+    with open(db, "w") as f:
+        for k in range(9):
+            s = "".join(rng.choice(alpha, int(rng.integers(40, 150))))
+            names.append(f"p{k}")
+            seqs.append(s)
+            f.write(f">p{k}\n{s}\n")
+        names.append("planted")
+        seqs.append(query[5:55])
+        f.write(">planted\n" + query[5:55] + "\n")
+    out = tmp_path / "o.csv"
+    assert main([
+        "--platform", "cpu", "--query", str(qf), "--database", str(db),
+        "--output", str(out), "--top", "3", "--batch-size", "4",
+    ]) == 0
+    rows = list(csv_mod.DictReader(open(out)))
+    filled = [r for r in rows if r["pos_pred"] != ""]
+    assert len(filled) == 3
+    cfg = blosum_config("blosum50")
+    by_name = dict(zip(names, seqs))
+    want = BatchSWAligner(cfg).align_batch(
+        [by_name[r["name"]] for r in filled], [query] * 3, traceback=True
+    )
+    for r, w in zip(filled, want):
+        assert int(r["pos_pred"]) == w.pos
+        assert r["consensus_x"] == w.consensus_x
+        assert int(r["score"]) == int(w.score)
+    assert all(r["pos_pred"] == "" for r in rows if r not in filled)
+
+
 def test_read_slice_ragged_single_process(tmp_path):
     """Ragged line-per-read files must decode correctly even in
     single-process mode (round-1 bug: the fixed-record fast path was
