@@ -119,7 +119,64 @@ def kernel_estimate(engine, b_small=128, b_big=5120, repeats=10,
     if not ests:
         raise RuntimeError("batch differencing produced no valid estimates")
     kernel = float(np.median(ests)) / 1e9
-    return kernel, c_big / t_big_best / 1e9
+    return kernel, c_big / t_big_best / 1e9, prep_b, c_big
+
+
+def e2e_pipelined(engine, prep, cells, repeats=12):
+    """Two-in-flight end-to-end GCUPS: batch k+1 dispatches BEFORE batch k's
+    blocking fetch, so the ~28 ms tunnel round trip of the fetch overlaps
+    the next batch's device compute (the align_stream discipline applied to
+    the headline measurement). Median per-batch steady-state time."""
+    prev = engine.score_prepared(prep)  # warm (compiled already by caller)
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        nxt = engine.score_prepared(prep)
+        np.asarray(prev["score"])
+        prev = nxt
+        times.append(time.perf_counter() - t0)
+    np.asarray(prev["score"])
+    return cells / float(np.median(times)) / 1e9
+
+
+def uniprot_e2e(db_path="data/uniprot_syn/database.fasta"):
+    """Full SwissProt-scale (561,356-entry) database scan through the real
+    solve_uniprot driver on the device-resident path (--engine pallas):
+    the honest end-to-end protein number — DB load, one flat upload,
+    on-device window gather + packed-profile kernel, result fetch, CSV.
+    Returns (gcups, proteins_per_s, n_entries)."""
+    import os
+    import re
+    import subprocess
+    import sys as _sys
+    import tempfile
+
+    if not os.path.exists(db_path):
+        from parallel_genomeseq_tpu.seqio.datagen import gen_protein_db
+        from parallel_genomeseq_tpu.seqio.native_io import read_fasta
+
+        os.makedirs(os.path.dirname(db_path), exist_ok=True)
+        q = read_fasta("/root/reference/data/query/P02232.fasta")
+        gen_protein_db(db_path, query=q)
+    out = tempfile.mktemp(suffix=".csv")
+    r = subprocess.run(
+        [_sys.executable, "-m", "parallel_genomeseq_tpu.cli.solve_uniprot",
+         "--database", db_path, "--output", out, "--engine", "pallas",
+         "--batch-size", "4096", "--pad-mult", "512", "--matrix", "blosum50",
+         "--top", "3"],
+        capture_output=True, text=True, timeout=1800,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(f"solve_uniprot failed: {r.stdout[-800:]}\n{r.stderr[-800:]}")
+    m = re.search(r"Scored ([\d.]+) Gcells in ([\d.]+)s: ([\d.]+) GCUPS", r.stdout)
+    n = re.search(r"query \d+aa vs (\d+) proteins", r.stdout)
+    gcells, secs, gcups = float(m.group(1)), float(m.group(2)), float(m.group(3))
+    n_entries = int(n.group(1))
+    try:
+        os.unlink(out)
+    except OSError:
+        pass
+    return gcups, n_entries / secs, n_entries
 
 
 def main():
@@ -133,6 +190,10 @@ def main():
     ap.add_argument(
         "--skip-protein", action="store_true",
         help="DNA headline only (skip the BLOSUM profile kernels)",
+    )
+    ap.add_argument(
+        "--skip-uniprot", action="store_true",
+        help="skip the full-database UNIPROT e2e headline",
     )
     args = ap.parse_args()
 
@@ -156,8 +217,9 @@ def main():
             eng = PallasEngine()
             if not eng.interpret:
                 eng.self_check()
-            kernel_gcups, e2e_gcups = kernel_estimate(eng)
-            result = ("pallas", kernel_gcups, e2e_gcups)
+            kernel_gcups, e2e_gcups, prep_b, c_big = kernel_estimate(eng)
+            e2e_pipe = e2e_pipelined(eng, prep_b, c_big)
+            result = ("pallas", kernel_gcups, e2e_gcups, e2e_pipe)
             break
         except Exception as e:  # miscompile / flaky backend: retry, then fall back
             print(f"# pallas attempt {attempt} failed: {e}", file=sys.stderr)
@@ -172,16 +234,17 @@ def main():
         res = eng.score_batch(xs, ys, m, n)
         np.asarray(res["score"])
         dt = time.perf_counter() - t0
-        result = ("scan", cells / dt / 1e9, cells / dt / 1e9)
+        result = ("scan", cells / dt / 1e9, cells / dt / 1e9, cells / dt / 1e9)
 
     if profile_ctx is not None:
         profile_ctx.__exit__(None, None, None)
         print(f"# profiler trace written to {args.profile}", file=sys.stderr)
 
-    name, kernel_gcups, e2e_gcups = result
+    name, kernel_gcups, e2e_gcups, e2e_pipe = result
     print(
         f"# engine={name} kernel={kernel_gcups:.1f} GCUPS "
-        f"end2end(B=5120)={e2e_gcups:.1f} GCUPS",
+        f"end2end(B=5120)={e2e_gcups:.1f} GCUPS "
+        f"end2end-pipelined(2 in flight)={e2e_pipe:.1f} GCUPS",
         file=sys.stderr,
     )
     print(
@@ -191,6 +254,16 @@ def main():
                 "value": round(kernel_gcups, 2),
                 "unit": "GCUPS",
                 "vs_baseline": round(kernel_gcups / BASELINE_GCUPS, 2),
+            }
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "sw_e2e_pipelined_b5120_gcups_per_chip",
+                "value": round(e2e_pipe, 2),
+                "unit": "GCUPS",
+                "vs_baseline": round(e2e_pipe / BASELINE_GCUPS, 2),
             }
         )
     )
@@ -221,7 +294,7 @@ def main():
                     # same program shape the small batch reuses.
                     xs, ys, m, n, _ = build_protein_inputs(128)
                     eng.score_batch(xs, ys, m, n)
-                k_gcups, e_gcups = kernel_estimate(
+                k_gcups, e_gcups, _, _ = kernel_estimate(
                     eng, builder=build_protein_inputs
                 )
                 print(
@@ -241,6 +314,31 @@ def main():
                 )
             except Exception as e:
                 print(f"# {metric} failed: {e}", file=sys.stderr)
+
+    # UNIPROT end-to-end: the full 561,356-entry SwissProt-scale database
+    # through the real driver (device-resident DB, packed-profile kernel).
+    # Baseline: the reference's own protein path measured at 0.20 GCUPS on
+    # this host CPU (float SWAligner, mpi_sw_solve_uniprot.cpp:120-123).
+    if not args.skip_uniprot:
+        try:
+            u_gcups, u_rate, u_n = uniprot_e2e()
+            print(
+                f"# uniprot_e2e: {u_gcups:.2f} GCUPS end-to-end, "
+                f"{u_rate:,.0f} proteins/s over {u_n:,} entries",
+                file=sys.stderr,
+            )
+            print(
+                json.dumps(
+                    {
+                        "metric": "uniprot_e2e_gcups",
+                        "value": round(u_gcups, 2),
+                        "unit": "GCUPS",
+                        "vs_baseline": round(u_gcups / 0.20, 2),
+                    }
+                )
+            )
+        except Exception as e:
+            print(f"# uniprot_e2e failed: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

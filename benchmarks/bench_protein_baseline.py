@@ -46,7 +46,7 @@ def write_matrix(path):
             f.write(" ".join(map(str, row)) + "\n")
 
 
-def make_workload(shape, B, seed=11):
+def make_workload(shape, B, seed=11, size=1000, plant=True):
     from parallel_genomeseq_tpu.seqio.native_io import read_fasta
 
     rng = np.random.default_rng(seed)
@@ -54,11 +54,16 @@ def make_workload(shape, B, seed=11):
     if shape == "uniprot":
         q = read_fasta("/root/reference/data/query/P02232.fasta")
         dbs = ["".join(rng.choice(aa, 360)) for _ in range(B)]
-    else:  # swps3 1k rung
-        q = "".join(rng.choice(aa, 1000))
-        dbs = ["".join(rng.choice(aa, 1000)) for _ in range(B)]
-    # plant the query head into lane 0 so scores are non-trivial
-    dbs[0] = q[: min(len(q), len(dbs[0]))] + dbs[0][min(len(q), len(dbs[0])) :]
+    else:  # swps3 size rung (py/benchmark_swps.py sweeps 1k-8k residues)
+        q = "".join(rng.choice(aa, size))
+        dbs = ["".join(rng.choice(aa, size)) for _ in range(B)]
+    if plant:
+        # plant the query head into lane 0 so scores are non-trivial; the
+        # big sweep rungs skip this (a >= 8k self-hit scores past the
+        # int16 saturation point of any Farrar/swps3-class kernel)
+        dbs[0] = (
+            q[: min(len(q), len(dbs[0]))] + dbs[0][min(len(q), len(dbs[0])) :]
+        )
     return q, dbs
 
 
@@ -193,10 +198,45 @@ def build_ref_probe():
     return exe
 
 
+def run_striped_procs(exe, q, dbs, gap_open, gap_ext, reps, nproc):
+    """swps3-style worker-pool scaling (the reference's swps3_benchmark.c
+    forks one worker per thread count, benchmark/swps/swps3_benchmark.c):
+    split the pairs over nproc concurrent single-core processes and report
+    aggregate cells / wall time."""
+    mat = SCRATCH / "blosum50.tsv"
+    write_matrix(mat)
+    chunks = [dbs[p::nproc] for p in range(nproc)]
+    files = []
+    for p, ch in enumerate(chunks):
+        f = SCRATCH / f"pairs_{p}.tsv"
+        f.write_text("".join(f"{q}\t{d}\n" for d in ch))
+        files.append(f)
+    t0 = time.perf_counter()
+    procs = [
+        subprocess.Popen(
+            [str(exe), str(mat), str(gap_open), str(gap_ext), str(f),
+             str(reps)],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        for f in files
+    ]
+    for pr in procs:
+        assert pr.wait() == 0
+    dt = time.perf_counter() - t0
+    cells = sum(len(q) * len(d) for d in dbs) * reps
+    return cells / dt / 1e9
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-reference", action="store_true",
                     help="skip building/timing the reference-sources probe")
+    ap.add_argument(
+        "--sweep", action="store_true",
+        help="run the full swps3-style sweep (problem sizes 1k-8k residues "
+        "x worker counts, py/benchmark_swps.py:7-17) instead of the two "
+        "headline rungs",
+    )
     args = ap.parse_args()
     SCRATCH.mkdir(parents=True, exist_ok=True)
 
@@ -210,6 +250,30 @@ def main():
             results[f"striped[{shape},{gname}]"] = gcups
             print(f"striped_sw  {shape:8s} {gname:9s} {gcups:7.3f} GCUPS "
                   "(verified vs oracle)")
+
+    if args.sweep:
+        # The reference's swps3 sweep: problem sizes 1k..8k residues
+        # (py/benchmark_swps.py:7-17 sweeps 1000-8000) x worker counts
+        # (its 2-72 thread axis, capped at this host's cores — the pool is
+        # embarrassingly parallel over pairs, as in swps3_benchmark.c's
+        # fork-per-worker design).
+        import os
+
+        workers = sorted({1, 2, os.cpu_count() or 1})
+        workers = [w for w in workers if w <= (os.cpu_count() or 1)]
+        for size in (1000, 2000, 4000, 8000):
+            B = max(4, 32_000_000 // (size * size))
+            q, dbs = make_workload("swps3", B, size=size, plant=size < 3000)
+            for gname, gopen in (("linear", 0), ("affine10", 10)):
+                scores, _ = run_striped(exe, q, dbs, gopen, 2, 1)
+                verify_striped(q, dbs, scores, gopen, 2, nver=2)
+                for w in workers:
+                    gcups = run_striped_procs(exe, q, dbs, gopen, 2, 1, w)
+                    results[f"striped[swps3-{size},{gname},w{w}]"] = gcups
+                    print(
+                        f"striped_sw  {size}x{size} {gname:9s} workers={w} "
+                        f"{gcups:7.3f} GCUPS aggregate"
+                    )
 
     if not args.skip_reference:
         ref = build_ref_probe()

@@ -355,15 +355,21 @@ def _packed_luts(matrix, alphabet_bytes):
     return packed_lut, encode_lut
 
 
+# Byte extraction from the selected packed word: True = variable-amount
+# vector shift (word >> ((code & 3) * 8), ~4 ops — arith.shrsi on int32
+# vectors; NOT the packed-i16 shift that is a proven v5e Mosaic dead end),
+# False = two constant-shift selects (~9 ops, lowers everywhere).
+PACKED_VARSHIFT = True
+
+
 def _packed_sow(pprof_ref, worst: int, slot: int):
     """score_of_window closure over a packed profile block (8, S, B).
 
     ywin carries compact y codes (0..31). Selection = binary tree on code
     bits 4/3/2 over the 8 packed words (7 selects), then byte extraction by
-    the low 2 bits via two constant-shift selects (constant shifts only —
-    the v5e Mosaic story for vector-amount shifts is unproven, and constants
-    cost the same here). Biased bytes are unscaled in VMEM; the slot scale
-    is applied at extraction (v * s + worst * s == score * s)."""
+    the low 2 bits (see PACKED_VARSHIFT). Biased bytes are unscaled in
+    VMEM; the slot scale is applied at extraction
+    (v * s + worst * s == score * s)."""
     W, S_, B = pprof_ref.shape
     pw = [pprof_ref[w] for w in range(PROF_WORDS)]
     s = slot or 1
@@ -377,8 +383,11 @@ def _packed_sow(pprof_ref, worst: int, slot: int):
         b1 = (ywin & 8) != 0
         t1 = [jnp.where(b1, t0[2 + i], t0[i]) for i in range(2)]
         word = jnp.where((ywin & 4) != 0, t1[1], t1[0])
-        t = jnp.where((ywin & 2) != 0, word >> 16, word)
-        v = jnp.where((ywin & 1) != 0, t >> 8, t) & c255
+        if PACKED_VARSHIFT:
+            v = (word >> ((ywin & 3) << 3)) & c255
+        else:
+            t = jnp.where((ywin & 2) != 0, word >> 16, word)
+            v = jnp.where((ywin & 1) != 0, t >> 8, t) & c255
         if s == 1:
             return v + worst_s
         return v * sfac + worst_s
@@ -872,10 +881,10 @@ def _strips_body(score_of_window, shape, y_ref, best_ref, bestd_ref, rows_ref,
 
     def outer(o, carry):
         if affine:
-            h1, s2, e1, f1, best, bestd, ywin, stage, fstage = carry
+            h1, s2, e1, f1, best, bestd, ywin = carry
         else:
-            h1, s2, best, bestd, ywin, stage = carry
-            e1 = f1 = fstage = None
+            h1, s2, best, bestd, ywin = carry
+            e1 = f1 = None
         base = pl.multiple_of(o * UNROLL, UNROLL)
         blk = y_ref[pl.ds(base, UNROLL), :].astype(jnp.int32)
         rblk = lastrow_ref[pl.ds(base, 2 * UNROLL), :].astype(jnp.int32)
@@ -885,6 +894,11 @@ def _strips_body(score_of_window, shape, y_ref, best_ref, bestd_ref, rows_ref,
             frblk = flastrow_ref[pl.ds(base, 2 * UNROLL), :].astype(jnp.int32)
             if slot:
                 frblk = frblk * slot
+        # Per-step boundary rows collect into python lists (static index —
+        # no masked staging select in the loop) and store as one aligned
+        # 8-row block below.
+        stage_rows = []
+        fstage_rows = []
         for k in range(UNROLL):
             d = o * UNROLL + k
             yc = blk[k : k + 1, :]
@@ -911,12 +925,10 @@ def _strips_body(score_of_window, shape, y_ref, best_ref, bestd_ref, rows_ref,
                 upd = hd > best
                 best = jnp.where(upd, hd, best)
                 bestd = jnp.where(upd, d, bestd)
-            # Stage this step's strip-last-row cell (j = d - S + 2) — a
-            # static row slice, not a masked (S, B) reduction.
-            krow = jax.lax.broadcasted_iota(jnp.int32, (UNROLL, B), 0) == k
-            stage = jnp.where(krow, hd[S - 1 : S, :], stage)
+            # This step's strip-last-row cell (j = d - S + 2), static slice.
+            stage_rows.append(hd[S - 1 : S, :])
             if affine:
-                fstage = jnp.where(krow, f_d[S - 1 : S, :], fstage)
+                fstage_rows.append(f_d[S - 1 : S, :])
                 e1 = e_d
                 f1 = f_d
             s2 = s1
@@ -924,6 +936,8 @@ def _strips_body(score_of_window, shape, y_ref, best_ref, bestd_ref, rows_ref,
         # Store the staged 8 rows: j in [o*8 - S + 2, o*8 - S + 9] at
         # p = j + padw, aligned by construction of padw.
         p0 = o * UNROLL - S + 2 + padw
+        stage = jnp.concatenate(stage_rows, axis=0)
+        fstage = jnp.concatenate(fstage_rows, axis=0) if affine else None
 
         @pl.when(p0 >= 0)
         def _():
@@ -938,19 +952,16 @@ def _strips_body(score_of_window, shape, y_ref, best_ref, bestd_ref, rows_ref,
                 )
 
         if affine:
-            return h1, s2, e1, f1, best, bestd, ywin, stage, fstage
-        return h1, s2, best, bestd, ywin, stage
+            return h1, s2, e1, f1, best, bestd, ywin
+        return h1, s2, best, bestd, ywin
 
-    stage0 = jnp.zeros((UNROLL, B), jnp.int32)
     if affine:
-        init = (
-            zeros, zeros, zeros, zeros, zeros, zeros, zeros, stage0, stage0,
-        )
+        init = (zeros, zeros, zeros, zeros, zeros, zeros, zeros)
         out = jax.lax.fori_loop(0, nblk, outer, init)
         best, bestd = out[4], out[5]
     else:
-        _, _, best, bestd, _, _ = jax.lax.fori_loop(
-            0, nblk, outer, (zeros, zeros, zeros, zeros, zeros, stage0)
+        _, _, best, bestd, _ = jax.lax.fori_loop(
+            0, nblk, outer, (zeros, zeros, zeros, zeros, zeros)
         )
     if slot:
         best_ref[:] = best // slot

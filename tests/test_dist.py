@@ -164,14 +164,20 @@ def test_four_process_merge_and_scaling(tmp_path):
     rate4 = run_n(4, merged4)
     assert merged4.read_text() == single_score.read_text()
     assert merged2.read_text() == single_score.read_text()
+    # Rate assertions only on a quiet machine: on this 2-core rig the 4
+    # oversubscribed processes are at the scheduler's mercy, and ambient
+    # load (e.g. a concurrent TPU benchmark) makes wall-clock rates
+    # meaningless. Merge correctness above is always asserted.
+    ncpu = os.cpu_count() or 2
+    if os.getloadavg()[0] > 0.75 * ncpu:
+        pytest.skip(f"host too loaded for rate assertions: {os.getloadavg()}")
     # No-serialization bound (any host): 4 processes must not be slower
     # than ~half the 2-process aggregate (a global lock / livelock would
-    # collapse this). One retry absorbs unrelated-load noise — on this
-    # 2-core rig 4 oversubscribed processes are at the scheduler's mercy.
+    # collapse this). One retry absorbs residual noise.
     if rate4 < 0.5 * rate2:
         rate4 = max(rate4, run_n(4, merged4))
     assert rate4 >= 0.35 * rate2, (rate2, rate4)
-    if (os.cpu_count() or 2) >= 8:
+    if ncpu >= 8:
         assert rate4 >= 0.8 * 2 * rate2, (rate2, rate4)
 
 
