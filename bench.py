@@ -159,19 +159,34 @@ def uniprot_e2e(db_path="data/uniprot_syn/database.fasta"):
         q = read_fasta("/root/reference/data/query/P02232.fasta")
         gen_protein_db(db_path, query=q)
     out = tempfile.mktemp(suffix=".csv")
+    # Two passes in ONE process: pass 1 pays this rig's per-process
+    # program-load tax (the first invocation of each compiled program costs
+    # minutes through the remote tunnel; a directly-attached TPU or the
+    # long-lived cli/serve.py process does not pay it), pass 2 measures the
+    # steady state — the same warm-up methodology as benchmarks/e2e_reads.py.
+    code = (
+        "from parallel_genomeseq_tpu.cli.solve_uniprot import main\n"
+        f"a = ['--database', {db_path!r}, '--engine', 'pallas',\n"
+        "     '--batch-size', '4096', '--pad-mult', '512',\n"
+        "     '--matrix', 'blosum50', '--top', '3']\n"
+        f"main(a + ['--output', {out!r}])\n"
+        f"main(a + ['--output', {out!r}])\n"
+    )
     r = subprocess.run(
-        [_sys.executable, "-m", "parallel_genomeseq_tpu.cli.solve_uniprot",
-         "--database", db_path, "--output", out, "--engine", "pallas",
-         "--batch-size", "4096", "--pad-mult", "512", "--matrix", "blosum50",
-         "--top", "3"],
-        capture_output=True, text=True, timeout=1800,
+        [_sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=2400,
     )
     if r.returncode != 0:
         raise RuntimeError(f"solve_uniprot failed: {r.stdout[-800:]}\n{r.stderr[-800:]}")
-    m = re.search(r"Scored ([\d.]+) Gcells in ([\d.]+)s: ([\d.]+) GCUPS", r.stdout)
+    ms = re.findall(r"Scored ([\d.]+) Gcells in ([\d.]+)s: ([\d.]+) GCUPS", r.stdout)
     n = re.search(r"query \d+aa vs (\d+) proteins", r.stdout)
-    gcells, secs, gcups = float(m.group(1)), float(m.group(2)), float(m.group(3))
+    gcells, secs, gcups = (float(v) for v in ms[-1])  # warm pass
     n_entries = int(n.group(1))
+    print(
+        f"# uniprot_e2e cold pass (incl. per-process program loads): "
+        f"{ms[0][1]}s; warm pass: {secs}s",
+        file=sys.stderr,
+    )
     try:
         os.unlink(out)
     except OSError:

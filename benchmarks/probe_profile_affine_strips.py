@@ -17,6 +17,7 @@ ops/oracle.sw_affine_score_fast, so a miscompile fails loudly here too.
 Exit 0 + "PROBE PASS" on success. A worker crash kills this process only.
 """
 
+import os
 import pathlib
 import sys
 import time
@@ -24,6 +25,7 @@ import time
 import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+os.environ["PGS_UNGATE_PROFILE_AFFINE_STRIPS"] = "1"  # probe-only bypass
 
 
 def main(M=2560, N=2048, B=128):

@@ -248,23 +248,44 @@ def main(argv=None):
         if ckpt_f is not None:
             ckpt_f.flush()
 
+    if resident and order:
+        # ALL batch index vectors upload in ONE transfer before the loop;
+        # per-batch args are then device-side slices, so each dispatch
+        # ships nothing over the host link (a per-call numpy arg upload
+        # costs ~2 tunnel RTTs — 137 batches x ~56 ms dominated the
+        # first warm-run measurement at 9.0 s).
+        nb = (len(order) + B - 1) // B
+        offs_mat = np.zeros((nb, B), np.int32)
+        lens_mat = np.zeros((nb, B), np.int32)
+        for bi in range(nb):
+            idxs = order[bi * B : (bi + 1) * B]
+            offs_mat[bi, : len(idxs)] = offs_np[idxs]
+            lens_mat[bi, : len(idxs)] = lens_np[idxs]
+        offs_dev = jax.device_put(offs_mat)
+        lens_dev = jax.device_put(lens_mat)
+        # One jitted dynamic-index program shared by every batch: a static
+        # python index (offs_dev[bi]) would specialize one tiny executable
+        # PER BATCH — and on this rig every executable's first invocation
+        # pays a multi-second load tax through the remote tunnel.
+        _row = jax.jit(
+            lambda mat, i: jax.lax.dynamic_index_in_dim(
+                mat, i, axis=0, keepdims=False
+            )
+        )
+
     for s in range(0, len(order), B):
         idxs = order[s : s + B]
         if resident:
-            # Fixed (B,)-shaped offs/lens (pad lanes len 0) so the
-            # remainder batch reuses a compiled program per N bucket.
-            offs_b = np.zeros(B, np.int32)
-            lens_b = np.zeros(B, np.int32)
-            offs_b[: len(idxs)] = offs_np[idxs]
-            lens_b[: len(idxs)] = lens_np[idxs]
-            N = _round_up(int(lens_b.max()), args.pad_mult)
+            bi = s // B
+            N = _round_up(int(lens_mat[bi].max()), args.pad_mult)
             score, ii, jj = score_db_windows_jit(
-                flat_dev, offs_b, lens_b, q_dev, plut, elut,
+                flat_dev, _row(offs_dev, bi), _row(lens_dev, bi), q_dev,
+                plut, elut,
                 N=N, worst=worst_i, best_sub=best_i, gap=gap_i,
                 gopen=gopen_i, interpret=engine.interpret,
             )
             pend.append((idxs, (score[: len(idxs)], jj[: len(idxs)])))
-            cells += len(qb) * int(lens_b.sum())
+            cells += len(qb) * int(lens_mat[bi].sum())
         else:
             seqs = [to_bytes(entries[k][1]) for k in idxs]
             n = np.array([len(v) for v in seqs], np.int32)

@@ -101,21 +101,34 @@ class FMIndex:
         (occ is monotone), so dead k-mers need no masking. Returns one
         (read_offset, text_position) list per read, same contents as
         per-read ``seeds``."""
-        qread, qoffs, pats = [], [], []
+        # Group reads by length so the k-mer windows of a whole group build
+        # with ONE strided view (the round-3 per-read python loop — 1024
+        # sliding_window_view calls per batch — was the measured host
+        # bottleneck of the seeding stage).
+        from collections import defaultdict
+
+        by_len = defaultdict(list)
         for ri, read in enumerate(reads):
-            nq = (len(read) - k) // step + 1 if len(read) >= k else 0
-            if nq == 0:
-                continue
-            b = np.frombuffer(read.encode("ascii"), np.uint8)
-            pats.append(np.lib.stride_tricks.sliding_window_view(b, k)[::step])
-            qoffs.append(np.arange(nq, dtype=np.int64) * step)
-            qread.append(np.full(nq, ri, np.int64))
+            if len(read) >= k:
+                by_len[len(read)].append(ri)
         out: List[List[Tuple[int, int]]] = [[] for _ in reads]
-        if not pats:
+        if not by_len:
             return out
-        cls = self._amap[np.concatenate(pats).astype(np.int32) + 1]  # (Q, k)
-        qoffs = np.concatenate(qoffs)
-        qread = np.concatenate(qread)
+        qread_l, qoffs_l, pats_l = [], [], []
+        for L, idxs in by_len.items():
+            nq = (L - k) // step + 1
+            mat = np.frombuffer(
+                "".join(reads[ri] for ri in idxs).encode("ascii"), np.uint8
+            ).reshape(len(idxs), L)
+            win = np.lib.stride_tricks.sliding_window_view(mat, k, axis=1)
+            pats_l.append(win[:, ::step].reshape(-1, k))
+            qoffs_l.append(
+                np.tile(np.arange(nq, dtype=np.int64) * step, len(idxs))
+            )
+            qread_l.append(np.repeat(np.asarray(idxs, np.int64), nq))
+        cls = self._amap[np.concatenate(pats_l).astype(np.int32) + 1]  # (Q, k)
+        qoffs = np.concatenate(qoffs_l)
+        qread = np.concatenate(qread_l)
         Q = cls.shape[0]
         sp = np.zeros(Q, np.int64)
         ep = np.full(Q, self.n, np.int64)
@@ -137,8 +150,18 @@ class FMIndex:
         )
         pos = self.sa[starts + within]
         hit_q = np.repeat(np.arange(Q), lens)
-        for qi, p in zip(hit_q, pos):
-            out[int(qread[qi])].append((int(qoffs[qi]), int(p)))
+        # Split hits per read with one stable sort instead of a per-hit
+        # python append loop.
+        rid = qread[hit_q]
+        order = np.argsort(rid, kind="stable")
+        rid_s = rid[order]
+        roff_s = qoffs[hit_q][order].tolist()
+        pos_s = pos[order].tolist()
+        bounds = np.searchsorted(rid_s, np.arange(len(reads) + 1))
+        for ri in range(len(reads)):
+            a, b = int(bounds[ri]), int(bounds[ri + 1])
+            if a < b:
+                out[ri] = list(zip(roff_s[a:b], pos_s[a:b]))
         return out
 
 

@@ -39,7 +39,7 @@ TPU analog of the reference's OMP-over-pieces loop
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -1952,11 +1952,17 @@ class PallasEngine:
             # is disproven (~5 MB VMEM at S=128). A worker crash is
             # uncatchable by the first-batch oracle gate, so this envelope
             # falls back to the scan engine instead.
+            import os as _os
+
             if (
                 self.cfg.is_affine
                 and not self.cfg.is_uniform
                 and not self.interpret
+                and not _os.environ.get("PGS_UNGATE_PROFILE_AFFINE_STRIPS")
             ):
+                # PGS_UNGATE_PROFILE_AFFINE_STRIPS=1 bypasses the gate for
+                # hardware probes (benchmarks/probe_profile_affine_strips.py)
+                # run in an expendable process.
                 raise EnvelopeError(
                     "the affine + substitution-matrix strip kernel faults "
                     "the TPU worker (see wavefront_pallas.py gate note); "

@@ -95,6 +95,46 @@ def test_rejects_sat_uint8():
         PallasEngine(ScoringConfig(semantics=Semantics.SAT_UINT8))
 
 
+def test_packed_lut_envelope_guards():
+    """The packed profile stores biased scores as bytes over a 31-code
+    space: alphabets > 31 letters or matrices spanning > 255 must raise
+    EnvelopeError (callers fall back to the scan engine)."""
+    from parallel_genomeseq_tpu.ops.wavefront_pallas import (
+        EnvelopeError, _packed_luts,
+    )
+
+    big_alpha = bytes(range(65, 65 + 32))  # 32 letters
+    mat = np.zeros((32, 32)) - 1
+    with pytest.raises(EnvelopeError):
+        _packed_luts(mat, big_alpha)
+    wide = np.zeros((4, 4)) - 1.0
+    wide[0, 0] = 300.0  # span 301 > 255
+    with pytest.raises(EnvelopeError):
+        _packed_luts(wide, b"ACGT")
+
+
+def test_packed_lut_roundtrip(rng):
+    """Every (x byte, y code) decodes back to the exact matrix entry, and
+    out-of-alphabet bytes / code 0 decode to the matrix minimum."""
+    from parallel_genomeseq_tpu.ops.wavefront_pallas import _packed_luts
+
+    alpha = b"ARNDCQEGHILKMFPSTWYVBZX*"
+    mat = rng.integers(-6, 16, size=(24, 24))
+    mat = ((mat + mat.T) // 2).astype(np.float64)
+    plut, elut = _packed_luts(mat, alpha)
+    worst = int(mat.min())
+    for ri, rb in enumerate(alpha):
+        for ci, cb in enumerate(alpha):
+            code = int(elut[cb])
+            assert code == ci + 1
+            word = int(plut[rb, code // 4]) & 0xFFFFFFFF
+            v = (word >> (8 * (code % 4))) & 0xFF
+            assert v + worst == int(mat[ri, ci])
+    # code 0 (pad/invalid) and unknown bytes -> worst
+    assert all((int(plut[b, 0]) & 0xFF) == 0 for b in (1, 2, ord("J")))
+    assert int(elut[1]) == 0 and int(elut[2]) == 0 and int(elut[ord("J")]) == 0
+
+
 def test_self_check_passes():
     eng = PallasEngine()
     eng.self_check()  # interpret-mode kernel must agree with scan
