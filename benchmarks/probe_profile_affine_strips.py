@@ -1,11 +1,16 @@
 #!/usr/bin/env python
 """Hardware probe: the affine + substitution-matrix STRIP kernel on real TPU.
 
-The S=256 variant of _kernel_strips_profile_affine reproducibly crashed the
-v5e worker at first execution (suspected VMEM overrun: (A, S, LANE) profile
-blocks + F scratch + dual int32 H/F boundary rows). S=STRIP_S_PA=128 halves
-every per-strip buffer; this probe proves (or disproves) that fix on the real
-chip, in an expendable process.
+History: this kernel reproducibly crashed the v5e worker at first execution
+in rounds 2-3 (S=256 and S=128 alike). probe_pa_bisect.py root-caused the
+fault on 2026-08-20 — ANY 32-bit (int32/float32) persistent boundary-row
+scratch crashes v5e Mosaic, in every strip kernel flavor — and the fix
+(int16 hi/lo pair rows, wavefront_pallas._rows_init) removed the prepare()
+gate. This probe is now the recorded end-to-end PASS for the production
+engine path (v5e 2026-08-20: first call 400.8s compile+load+verify,
+score[0]=615 oracle-exact, steady state 31.6 ms/call = 21.2 GCUPS
+e2e-per-call at B=128, 2560x2048) and the regression canary to re-run after
+any Mosaic / boundary-row change.
 
 Workload: B=128 synthetic titin-class protein queries (M > MAX_M so the strip
 path engages) vs ~2k-residue database entries, BLOSUM50 with swps3's 12/2
@@ -25,7 +30,6 @@ import time
 import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
-os.environ["PGS_UNGATE_PROFILE_AFFINE_STRIPS"] = "1"  # probe-only bypass
 
 
 def main(M=2560, N=2048, B=128):

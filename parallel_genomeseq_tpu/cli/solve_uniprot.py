@@ -131,13 +131,14 @@ def main(argv=None):
     B = args.batch_size
     results = [None] * len(entries)
 
-    # Device-resident database fast path: upload the whole DB once as a
-    # flat uint8 array; each batch ships only (offs, lens) int32 vectors
-    # and the windows are gathered/encoded/scored entirely on device
-    # (score_db_windows_jit). Removes the per-batch sequence upload that
-    # made round-3's UNIPROT runs transport-bound through the remote
-    # tunnel (0.77 GCUPS e2e vs a 52-67 GCUPS kernel).
-    from ..ops.wavefront_pallas import MAX_M, PallasEngine, score_db_windows_jit
+    # Device-resident database fast path: the whole DB is length-bucketed
+    # into batches, each batch packed HOST-SIDE as a transposed (N, B)
+    # uint8 block, the blocks concatenated and uploaded once as a slab.
+    # Each batch then ships nothing over the host link and runs ONE
+    # dynamic_slice on device (score_db_slab_jit) — no per-batch sequence
+    # upload (round 3's 0.77 GCUPS bound) and no per-byte device gather
+    # (round 4's first cut: 79 of 86 ms/batch, probe_uniprot_phase.py).
+    from ..ops.wavefront_pallas import LANE, MAX_M, PallasEngine, score_db_slab_jit
 
     resident = (
         isinstance(engine, PallasEngine)
@@ -147,26 +148,21 @@ def main(argv=None):
     if resident:
         import jax
 
-        t_up = time.perf_counter()
-        seq_bytes = [to_bytes(e[1]) for e in entries]
-        lens_np = np.array([len(s) for s in seq_bytes], np.int32)
-        offs_np = np.zeros(max(len(entries), 1), np.int32)
-        if len(entries) > 1:
-            np.cumsum(lens_np[:-1], out=offs_np[1:])
-        flat_np = (
-            np.concatenate(seq_bytes) if seq_bytes else np.zeros(1, np.uint8)
-        )
-        flat_dev = jax.device_put(flat_np)
         plut, elut = engine._lut()
+        plut_np = np.asarray(plut)
+        elut_np = np.asarray(elut)
         Mq = _round_up(len(qb), 8)
-        qblock = np.full((Mq, 1), 1, np.uint8)  # X_PAD
-        qblock[: len(qb), 0] = qb
-        q_dev = jax.device_put(qblock)
-        flat_dev.block_until_ready()
-        print(
-            f"resident DB: {flat_np.nbytes / 1e6:.1f} MB uploaded in "
-            f"{time.perf_counter() - t_up:.2f}s"
+        qcol = np.full(Mq, 1, np.uint8)  # X_PAD
+        qcol[: len(qb)] = qb
+        # Packed query profile, computed ONCE (query-constant): (8, Mq, LANE),
+        # shared by every grid block (score_db_slab_jit shared=True path).
+        pprof_np = np.ascontiguousarray(
+            np.broadcast_to(
+                plut_np[qcol.astype(np.int32)].T[:, :, None],
+                (plut_np.shape[1], Mq, LANE),
+            )
         )
+        pprof_dev = jax.device_put(pprof_np)
         Smat = np.asarray(cfg.matrix).astype(np.int32)
         worst_i, best_i = int(Smat.min()), int(Smat.max())
         gap_i, gopen_i = int(cfg.gap_penalty), int(cfg.gap_open)
@@ -249,22 +245,42 @@ def main(argv=None):
             ckpt_f.flush()
 
     if resident and order:
-        # ALL batch index vectors upload in ONE transfer before the loop;
-        # per-batch args are then device-side slices, so each dispatch
-        # ships nothing over the host link (a per-call numpy arg upload
-        # costs ~2 tunnel RTTs — 137 batches x ~56 ms dominated the
-        # first warm-run measurement at 9.0 s).
+        # Build the transposed per-batch slab AFTER resume filtering (the
+        # layout depends on the surviving batch composition) and upload it
+        # in ONE transfer; the per-batch args (row offset, lengths) are
+        # device-resident too, so each dispatch ships nothing over the
+        # host link (a per-call numpy arg upload costs ~2 tunnel RTTs —
+        # 137 batches x ~56 ms dominated an early warm-run at 9.0 s).
+        from ..ops.wavefront_pallas import UNROLL
+
+        t_up = time.perf_counter()
+        Bp = _round_up(B, LANE)
         nb = (len(order) + B - 1) // B
-        offs_mat = np.zeros((nb, B), np.int32)
-        lens_mat = np.zeros((nb, B), np.int32)
+        lens_mat = np.zeros((nb, Bp), np.int32)
+        seqs = [to_bytes(e[1]) for e in entries]
+        Ns = np.zeros(nb, np.int32)
+        row0s = np.zeros(nb, np.int32)
+        r = 0
         for bi in range(nb):
             idxs = order[bi * B : (bi + 1) * B]
-            offs_mat[bi, : len(idxs)] = offs_np[idxs]
-            lens_mat[bi, : len(idxs)] = lens_np[idxs]
-        offs_dev = jax.device_put(offs_mat)
+            for li, k in enumerate(idxs):
+                lens_mat[bi, li] = len(seqs[k])
+            row0s[bi] = r
+            Ns[bi] = _round_up(max(int(lens_mat[bi].max()), 1), args.pad_mult)
+            r += int(Ns[bi])
+        slab = np.full((r + Mq + 3 * UNROLL, Bp), Y_PAD, np.uint8)
+        for bi in range(nb):
+            r0 = int(row0s[bi])
+            for li, k in enumerate(order[bi * B : (bi + 1) * B]):
+                slab[r0 : r0 + len(seqs[k]), li] = seqs[k]
+        # Host-side encode to compact y codes (one vectorized LUT pass):
+        # keeps the per-byte encode gather OFF the device hot path.
+        slab = elut_np[slab.astype(np.int32)]
+        slab_dev = jax.device_put(slab)
         lens_dev = jax.device_put(lens_mat)
+        row0_dev = jax.device_put(row0s)
         # One jitted dynamic-index program shared by every batch: a static
-        # python index (offs_dev[bi]) would specialize one tiny executable
+        # python index (lens_dev[bi]) would specialize one tiny executable
         # PER BATCH — and on this rig every executable's first invocation
         # pays a multi-second load tax through the remote tunnel.
         _row = jax.jit(
@@ -272,16 +288,19 @@ def main(argv=None):
                 mat, i, axis=0, keepdims=False
             )
         )
+        slab_dev.block_until_ready()
+        print(
+            f"resident DB: {slab.nbytes / 1e6:.1f} MB slab "
+            f"({nb} batches) uploaded in {time.perf_counter() - t_up:.2f}s"
+        )
 
     for s in range(0, len(order), B):
         idxs = order[s : s + B]
         if resident:
             bi = s // B
-            N = _round_up(int(lens_mat[bi].max()), args.pad_mult)
-            score, ii, jj = score_db_windows_jit(
-                flat_dev, _row(offs_dev, bi), _row(lens_dev, bi), q_dev,
-                plut, elut,
-                N=N, worst=worst_i, best_sub=best_i, gap=gap_i,
+            score, ii, jj = score_db_slab_jit(
+                slab_dev, _row(row0_dev, bi), _row(lens_dev, bi), pprof_dev,
+                N=int(Ns[bi]), worst=worst_i, best_sub=best_i, gap=gap_i,
                 gopen=gopen_i, interpret=engine.interpret,
             )
             pend.append((idxs, (score[: len(idxs)], jj[: len(idxs)])))

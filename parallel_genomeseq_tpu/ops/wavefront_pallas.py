@@ -769,15 +769,23 @@ def _kernel_strips(x_ref, y_ref, best_ref, bestd_ref,
 
 
 def _kernel_strips_profile(pprof_ref, y_ref, best_ref, bestd_ref,
-                           lastrow_ref, *, nblk: int, worst: int,
+                           lr_hi_ref, lr_lo_ref, *, nblk: int, worst: int,
                            gap: int, slot: int = 0):
     """Substitution-matrix strip kernel: long protein queries (> MAX_M
     residues, e.g. titin-class) stay on the Pallas fast path instead of
     falling back to the scan engine (the UNIPROT custom-scoring requirement,
-    src/mpi_sw_solve_uniprot.cpp:120-123). Packed profile (see _packed_luts)."""
+    src/mpi_sw_solve_uniprot.cpp:120-123). Packed profile (see _packed_luts).
+
+    Boundary rows (values up to best_sub * M, beyond int16) are carried as
+    an int16 hi/lo PAIR (see _rows_init): any 32-bit persistent scratch
+    buffer faults the v5e TPU worker at first execution — bisected on
+    hardware by benchmarks/probe_pa_bisect.py (2026-08-20: int32 AND
+    float32 scratches crash across uniform/profile/affine strip kernels;
+    every int16 configuration passes, and the int16-pair fix passed with
+    this exact kernel)."""
     sow, shape = _packed_sow(pprof_ref, worst, slot)
-    _strips_body(sow, shape, y_ref, best_ref, bestd_ref, None, lastrow_ref,
-                 nblk=nblk, gap=gap, slot=slot)
+    _strips_body(sow, shape, y_ref, best_ref, bestd_ref, None,
+                 (lr_hi_ref, lr_lo_ref), nblk=nblk, gap=gap, slot=slot)
 
 
 def _kernel_strips_affine(x_ref, y_ref, best_ref, bestd_ref,
@@ -795,17 +803,21 @@ def _kernel_strips_affine(x_ref, y_ref, best_ref, bestd_ref,
 
 
 def _kernel_strips_profile_affine(pprof_ref, y_ref, best_ref, bestd_ref,
-                                  lastrow_ref, flastrow_ref, *, nblk: int,
+                                  lr_hi_ref, lr_lo_ref, flr_hi_ref,
+                                  flr_lo_ref, *, nblk: int,
                                   worst: int, gap: int, gopen: int,
                                   slot: int = 0):
     """Affine + substitution-matrix strip kernel: titin-class protein
     queries with open/extend gaps stay on the Pallas fast path. Packed
-    profile scoring of _kernel_strips_profile + the dual H/F int32 boundary
-    rows of _kernel_strips_affine."""
+    profile scoring of _kernel_strips_profile + dual H/F boundary rows,
+    each carried as an int16 hi/lo pair (see _kernel_strips_profile: the
+    rounds-2/3 worker crashes of this kernel were the 32-bit-scratch v5e
+    Mosaic fault, root-caused and fixed by benchmarks/probe_pa_bisect.py
+    2026-08-20 — NOT a VMEM overrun and NOT specific to this kernel)."""
     sow, shape = _packed_sow(pprof_ref, worst, slot)
-    _strips_body(sow, shape, y_ref, best_ref, bestd_ref, None, lastrow_ref,
-                 nblk=nblk, gap=gap, slot=slot, gopen=gopen,
-                 flastrow_ref=flastrow_ref)
+    _strips_body(sow, shape, y_ref, best_ref, bestd_ref, None,
+                 (lr_hi_ref, lr_lo_ref), nblk=nblk, gap=gap, slot=slot,
+                 gopen=gopen, flastrow_ref=(flr_hi_ref, flr_lo_ref))
 
 
 def _kernel_strips_ckpt(x_ref, y_ref, best_ref, bestd_ref, rows_ref,
@@ -833,6 +845,42 @@ def _kernel_strips_affine_ckpt(x_ref, y_ref, best_ref, bestd_ref, rows_ref,
     _strips_body(sow, shape, y_ref, best_ref, bestd_ref, rows_ref, lastrow_ref,
                  nblk=nblk, gap=gap, slot=slot, gopen=gopen,
                  flastrow_ref=flastrow_ref, frows_ref=frows_ref)
+
+
+def _rows_init(ref, val: int):
+    """Initialize a boundary-row buffer: a single int16/int32 ref, or an
+    (hi, lo) int16 PAIR encoding v = hi * 2**15 + lo, lo in [0, 2**15) —
+    the workaround for the v5e Mosaic fault with 32-bit persistent
+    scratch buffers (any int32 OR float32 boundary-row scratch crashes the
+    TPU worker at first execution; every 16-bit configuration passes —
+    bisected by benchmarks/probe_pa_bisect.py, 2026-08-20)."""
+    if isinstance(ref, tuple):
+        vh, vl = divmod(val, 1 << 15)
+        ref[0][:] = jnp.full_like(ref[0], vh)
+        ref[1][:] = jnp.full_like(ref[1], vl)
+    else:
+        ref[:] = jnp.full_like(ref, val)
+
+
+def _rows_load(ref, base, count):
+    """Load boundary rows as int32 (see _rows_init for the pair encoding)."""
+    if isinstance(ref, tuple):
+        hi = ref[0][pl.ds(base, count), :].astype(jnp.int32)
+        lo = ref[1][pl.ds(base, count), :].astype(jnp.int32)
+        return (hi << 15) + lo
+    return ref[pl.ds(base, count), :].astype(jnp.int32)
+
+
+def _rows_store(ref, p0, count, st):
+    """Store int32 boundary rows (see _rows_init for the pair encoding;
+    st >> 15 is the arithmetic shift, so hi carries the sign and lo stays
+    in [0, 2**15) — exact for |v| < 2**30)."""
+    if isinstance(ref, tuple):
+        h = st >> 15
+        ref[0][pl.ds(p0, count), :] = h.astype(jnp.int16)
+        ref[1][pl.ds(p0, count), :] = (st - (h << 15)).astype(jnp.int16)
+    else:
+        ref[pl.ds(p0, count), :] = st.astype(ref.dtype)
 
 
 def _strips_body(score_of_window, shape, y_ref, best_ref, bestd_ref, rows_ref,
@@ -871,11 +919,11 @@ def _strips_body(score_of_window, shape, y_ref, best_ref, bestd_ref, rows_ref,
 
     @pl.when(s_idx == 0)
     def _():
-        lastrow_ref[:] = jnp.zeros_like(lastrow_ref)
+        _rows_init(lastrow_ref, 0)
         if affine:
             # Row-0 boundary: F(0, j) is "no run" — anything <= -gopen works
             # (max(H(0,j) - go, F0) then picks the open branch exactly).
-            flastrow_ref[:] = jnp.full_like(flastrow_ref, -(gopen + gap + 1))
+            _rows_init(flastrow_ref, -(gopen + gap + 1))
 
     zeros = jnp.zeros((S, B), jnp.int32)
 
@@ -887,11 +935,11 @@ def _strips_body(score_of_window, shape, y_ref, best_ref, bestd_ref, rows_ref,
             e1 = f1 = None
         base = pl.multiple_of(o * UNROLL, UNROLL)
         blk = y_ref[pl.ds(base, UNROLL), :].astype(jnp.int32)
-        rblk = lastrow_ref[pl.ds(base, 2 * UNROLL), :].astype(jnp.int32)
+        rblk = _rows_load(lastrow_ref, base, 2 * UNROLL)
         if slot:
             rblk = rblk * slot
         if affine:
-            frblk = flastrow_ref[pl.ds(base, 2 * UNROLL), :].astype(jnp.int32)
+            frblk = _rows_load(flastrow_ref, base, 2 * UNROLL)
             if slot:
                 frblk = frblk * slot
         # Per-step boundary rows collect into python lists (static index —
@@ -942,14 +990,11 @@ def _strips_body(score_of_window, shape, y_ref, best_ref, bestd_ref, rows_ref,
         @pl.when(p0 >= 0)
         def _():
             st = stage // slot if slot else stage
-            lastrow_ref[pl.ds(pl.multiple_of(p0, UNROLL), UNROLL), :] = (
-                st.astype(lastrow_ref.dtype)
-            )
+            _rows_store(lastrow_ref, pl.multiple_of(p0, UNROLL), UNROLL, st)
             if affine:
                 fst = fstage // slot if slot else fstage
-                flastrow_ref[pl.ds(pl.multiple_of(p0, UNROLL), UNROLL), :] = (
-                    fst.astype(flastrow_ref.dtype)
-                )
+                _rows_store(flastrow_ref, pl.multiple_of(p0, UNROLL), UNROLL,
+                            fst)
 
         if affine:
             return h1, s2, e1, f1, best, bestd, ywin
@@ -1071,9 +1116,10 @@ def _call_strips_profile(pprof, ys, *, worst, best_sub, gap, interpret):
     S = STRIP_S
     nstrips = M // S
     nblk = Ny // UNROLL
-    # Boundary rows are int32 here (protein substitution maxima times
-    # strip-length queries overflow the int16 bound the uniform DNA kernel
-    # uses); slot packing engages only when the packed value still fits.
+    # Boundary rows exceed int16 here (protein substitution maxima times
+    # strip-length queries), and 32-bit scratch faults the v5e worker (see
+    # _kernel_strips_profile), so they ride an int16 hi/lo pair; slot
+    # packing engages only when the packed value still fits.
     slot = _pick_slot(nblk * UNROLL, max(best_sub, 1) * M)
     kernel = functools.partial(
         _kernel_strips_profile, nblk=nblk, worst=worst,
@@ -1095,7 +1141,10 @@ def _call_strips_profile(pprof, ys, *, worst, best_sub, gap, interpret):
             jax.ShapeDtypeStruct((M, B), jnp.int32),
             jax.ShapeDtypeStruct((M, B), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((Nlr, LANE), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((Nlr, LANE), jnp.int16),  # H boundary rows, hi
+            pltpu.VMEM((Nlr, LANE), jnp.int16),  # H boundary rows, lo
+        ],
         cost_estimate=pl.CostEstimate(
             flops=23 * (M // S) * (S + Ny) * S * B,
             bytes_accessed=M * B * 16 * W, transcendentals=0,
@@ -1113,16 +1162,16 @@ def _call_strips_profile_affine(pprof, ys, *, worst, best_sub, gap,
                                 gopen, interpret):
     W, M, B = pprof.shape
     Ny = ys.shape[0]
-    # Half-height strips: the round-3 (A, S, LANE) profile blocks plus the
-    # affine F scratch and E/F carries overran VMEM at S=256 (TPU worker
-    # crash at first execution, reproducible); S=128 halves every per-strip
-    # buffer. The packed profile is 3x smaller again (8 vs 24 planes).
+    # The rounds-2/3 worker crashes of this kernel were NOT VMEM pressure:
+    # probe_pa_bisect.py (2026-08-20) bisected them to 32-bit boundary-row
+    # scratch (int32 and float32 both fault; int16 passes), fixed by the
+    # hi/lo int16 pairs below. S stays at the half-height 128 from the
+    # VMEM-hypothesis era — shrinking buffers never hurt; raising it back
+    # is a perf experiment, not a correctness one.
     S = STRIP_S_PA
     nstrips = M // S
     nblk = Ny // UNROLL
-    # slot=0: the compare-based argmax costs ~2 extra ops/cell and keeps
-    # this rarely-hot kernel simple.
-    slot = 0
+    slot = _pick_slot(nblk * UNROLL, max(best_sub, 1) * M)
     kernel = functools.partial(
         _kernel_strips_profile_affine, nblk=nblk,
         worst=worst, gap=gap, gopen=gopen, slot=slot,
@@ -1144,8 +1193,10 @@ def _call_strips_profile_affine(pprof, ys, *, worst, best_sub, gap,
             jax.ShapeDtypeStruct((M, B), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Nlr, LANE), jnp.int32),  # H boundary rows
-            pltpu.VMEM((Nlr, LANE), jnp.int32),  # F boundary rows
+            pltpu.VMEM((Nlr, LANE), jnp.int16),  # H boundary rows, hi
+            pltpu.VMEM((Nlr, LANE), jnp.int16),  # H boundary rows, lo
+            pltpu.VMEM((Nlr, LANE), jnp.int16),  # F boundary rows, hi
+            pltpu.VMEM((Nlr, LANE), jnp.int16),  # F boundary rows, lo
         ],
         cost_estimate=pl.CostEstimate(
             flops=29 * (M // S) * (S + Ny) * S * B,
@@ -1546,39 +1597,43 @@ def score_lanes_profile_jit(x_lanes, y_lanes, packed_lut, encode_lut, *,
     jax.jit,
     static_argnames=("N", "worst", "best_sub", "gap", "gopen", "interpret"),
 )
-def score_db_windows_jit(flat_db, offs, lens, qblock, packed_lut, encode_lut,
-                         *, N: int, worst: int, best_sub: int, gap: int,
-                         gopen: int, interpret: bool):
-    """Score one batch of database entries gathered ON DEVICE from a
-    resident flat database — the TPU-native replacement for the reference's
-    per-rank file loop (src/mpi_sw_solve_uniprot.cpp:95-138).
+def score_db_slab_jit(slab_codes, row0, lens, pprof,
+                      *, N: int, worst: int, best_sub: int, gap: int,
+                      gopen: int, interpret: bool):
+    """Score one batch of database entries SLICED from a device-resident
+    pre-transposed, pre-ENCODED slab — the TPU-native replacement for the
+    reference's per-rank file loop (src/mpi_sw_solve_uniprot.cpp:95-138).
 
-    The whole database is uploaded once as a flat uint8 array; each batch
-    ships only (offs, lens) int32 vectors (a few KB) over the host link and
-    the (N, B) windows are built by an XLA gather, encoded to compact y
-    codes, and scored by the shared-query packed-profile kernel. This
-    removes the per-batch sequence upload that bounded round-3's UNIPROT
-    runs (~0.5 MB/batch through the ~28 ms remote tunnel).
+    The whole database is length-bucketed into batches on the host, each
+    batch laid out as a transposed (N_batch, B) uint8 block (lane b = one
+    entry) of COMPACT Y CODES (encode_lut applied host-side; 0 = pad), the
+    blocks concatenated row-wise and uploaded ONCE. The query's packed
+    profile is also computed once outside. Each batch then runs ONE
+    dynamic_slice plus the DP kernel — zero device gathers. (The round-4
+    first cut gathered per-byte windows from an unpadded flat array:
+    benchmarks/probe_uniprot_phase.py measured that elementwise gather at
+    ~79 of ~86 ms/batch; a raw-byte slab still spent ~48 ms/batch in the
+    per-byte encode_lut gather + per-call profile gather this version
+    hoists out.)
 
-    flat_db: (T,) uint8 concatenated entries. offs/lens: (B0,) int32 entry
-    windows (pad lanes: len 0). qblock: (M, 1) uint8 query, X_PAD-padded to
-    a multiple of 8. N: static padded window length (>= lens.max()).
-    Returns (score, i, j), each (B0,) int32 — identical to score_batch on
-    the same (query, entry) pairs.
+    slab_codes: (R, B) uint8 resident DB, compact y codes. row0: scalar
+    int32 first slab row of this batch. lens: (B,) int32 true entry
+    lengths (0 = pad lane). pprof: (PROF_WORDS, M, LANE) int32 packed
+    query profile (shared across lanes), M a multiple of 8. N: static
+    padded window length of this batch (>= lens.max(); the slab must
+    carry >= Ny - N extra rows after the last batch so the slice stays in
+    bounds). Returns (score, i, j), each (B,) int32 — identical to
+    score_batch on the same (query, entry) pairs.
     """
-    B0 = offs.shape[0]
-    M = qblock.shape[0]
+    B = slab_codes.shape[1]
+    M = pprof.shape[1]
     Ny = _round_up(max(N, 8) + M + UNROLL, UNROLL)
-    B = _round_up(max(B0, LANE), LANE)
-    offs_p = jnp.zeros((B,), jnp.int32).at[:B0].set(offs)
-    lens_p = jnp.zeros((B,), jnp.int32).at[:B0].set(lens)
+    ys_raw = jax.lax.dynamic_slice(slab_codes, (row0, 0), (Ny, B))
     t = jnp.arange(Ny, dtype=jnp.int32)[:, None]
-    idx = jnp.clip(offs_p[None, :] + t, 0, flat_db.shape[0] - 1)
-    vals = flat_db[idx]
-    ys = jnp.where(t < lens_p[None, :], vals, np.uint8(2))  # Y_PAD beyond
-    ycodes = encode_lut[ys.astype(jnp.int32)]
-    qb = jnp.broadcast_to(qblock, (M, LANE))
-    pprof = jnp.transpose(packed_lut[qb.astype(jnp.int32)], (2, 0, 1))
+    # Rows beyond this batch's own block belong to the NEXT batch; the
+    # length mask turns every row >= len into code 0 (pad -> worst under
+    # _packed_sow), so they never score.
+    ycodes = jnp.where(t < lens[None, :], ys_raw, np.uint8(0))
     if gopen:
         best, bestd = _call_profile_affine(
             pprof, ycodes, worst=worst, best_sub=best_sub, gap=gap,
@@ -1590,7 +1645,7 @@ def score_db_windows_jit(flat_db, offs, lens, qblock, packed_lut, encode_lut,
             interpret=interpret, shared=True,
         )
     score, i, j = _reduce_best(best, bestd)
-    return score[:B0], i[:B0], j[:B0]
+    return score, i, j
 
 
 class PallasEngine:
@@ -1944,38 +1999,32 @@ class PallasEngine:
         N0 = y_bn.shape[1]
         strips = M0 > MAX_M
         if strips:
-            # HARDWARE GATE (do not remove without a recorded real-TPU run):
-            # the affine+substitution-matrix strip kernel crashes the v5e
-            # worker at first execution — reproduced at S=256 (round 2) AND
-            # at S=128 (round 3, benchmarks/probe_profile_affine_strips.py,
-            # 2026-08-19), so the "VMEM overrun, halve the strip" hypothesis
-            # is disproven (~5 MB VMEM at S=128). A worker crash is
-            # uncatchable by the first-batch oracle gate, so this envelope
-            # falls back to the scan engine instead.
-            import os as _os
-
-            if (
-                self.cfg.is_affine
-                and not self.cfg.is_uniform
-                and not self.interpret
-                and not _os.environ.get("PGS_UNGATE_PROFILE_AFFINE_STRIPS")
-            ):
-                # PGS_UNGATE_PROFILE_AFFINE_STRIPS=1 bypasses the gate for
-                # hardware probes (benchmarks/probe_profile_affine_strips.py)
-                # run in an expendable process.
-                raise EnvelopeError(
-                    "the affine + substitution-matrix strip kernel faults "
-                    "the TPU worker (see wavefront_pallas.py gate note); "
-                    "strip-length matrix+gap_open queries use the scan engine"
-                )
-            # Only the uniform kernel's boundary rows are int16 (the profile
-            # strip kernel carries int32 rows, no score bound).
-            if self.cfg.is_uniform and int(self.cfg.match) * M0 > INT16_BOUND:
-                raise EnvelopeError(
-                    f"match * read_len = {int(self.cfg.match) * M0} exceeds "
-                    f"the strip kernel's int16 boundary-row bound {INT16_BOUND}; "
-                    "use the scan engine"
-                )
+            # The rounds-2/3 hardware gate on the affine+matrix strip kernel
+            # is REMOVED: the worker crashes were root-caused (2026-08-20,
+            # benchmarks/probe_pa_bisect.py) to 32-bit persistent boundary-
+            # row scratch — a v5e Mosaic fault hitting int32 AND float32
+            # scratches in EVERY strip kernel flavor, not this kernel
+            # specifically — and fixed by carrying boundary rows as int16
+            # hi/lo pairs (recorded passing runs: probe_pa_bisect.py
+            # profile_i16pair and probe_profile_affine_strips.py).
+            if self.cfg.is_uniform:
+                # The uniform kernels keep single int16 boundary rows.
+                if int(self.cfg.match) * M0 > INT16_BOUND:
+                    raise EnvelopeError(
+                        f"match * read_len = {int(self.cfg.match) * M0} "
+                        f"exceeds the strip kernel's int16 boundary-row "
+                        f"bound {INT16_BOUND}; use the scan engine"
+                    )
+            else:
+                # Profile strip kernels: int16-PAIR rows are exact for
+                # |v| < 2**30 (v = hi * 2**15 + lo).
+                best_sub = int(np.asarray(self.cfg.matrix).max())
+                if max(best_sub, 1) * M0 >= 2**30:
+                    raise EnvelopeError(
+                        f"best_sub * read_len = {best_sub * M0} exceeds the "
+                        "int16-pair boundary-row bound 2**30; use the scan "
+                        "engine"
+                    )
             M = _round_up(max(M0, STRIP_S), STRIP_S)
             # Strip diagonals run to S + N - 1; y rows must cover the aligned
             # block loads (nblk = Ny // UNROLL).

@@ -308,12 +308,14 @@ def test_pallas_profile_affine_matches_scan(rng):
         )
 
 
-def test_profile_affine_strip_hardware_gate():
-    """The affine+matrix STRIP kernel faults the real v5e worker (reproduced
-    at S=256 and S=128, benchmarks/probe_profile_affine_strips.py); on
-    hardware (interpret=False) the envelope must refuse in prepare() so
-    callers fall back to scan instead of crashing the worker. Interpret
-    mode stays open (the kernel itself is interpret-verified)."""
+def test_profile_affine_strip_envelope():
+    """The rounds-2/3 hardware gate on the affine+matrix strip kernel is
+    GONE: the v5e worker crashes were root-caused to 32-bit boundary-row
+    scratch (benchmarks/probe_pa_bisect.py) and fixed by int16 hi/lo pairs,
+    with recorded passing hardware probes. prepare() must now ACCEPT
+    strip-length matrix+gap_open queries, and refuse only beyond the
+    int16-pair bound best_sub * M >= 2**30 (exactness of the pair
+    encoding), in any mode."""
     import pytest
 
     from parallel_genomeseq_tpu.ops.substitution import blosum_config
@@ -327,9 +329,16 @@ def test_profile_affine_strip_hardware_gate():
     y = np.full((2, 256), 65, np.uint8)
     m = np.full(2, M, np.int32)
     n = np.full(2, 256, np.int32)
+    for interpret in (False, True):
+        PallasEngine(cfg, interpret=interpret).prepare(x, y, m, n)  # no raise
+
+    best_sub = int(np.asarray(cfg.matrix).max())
+    M_big = 2**30 // best_sub + 8  # pair-encoding bound exceeded
+    x_big = np.zeros((1, M_big), np.uint8)
     with pytest.raises(EnvelopeError):
-        PallasEngine(cfg, interpret=False).prepare(x, y, m, n)
-    PallasEngine(cfg, interpret=True).prepare(x, y, m, n)  # no raise
+        PallasEngine(cfg, interpret=True).prepare(
+            x_big, y[:1], np.array([M_big], np.int32), n[:1]
+        )
 
 
 def test_affine_fast_oracle_blosum(rng):
