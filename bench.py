@@ -167,7 +167,7 @@ def uniprot_e2e(db_path="data/uniprot_syn/database.fasta"):
     code = (
         "from parallel_genomeseq_tpu.cli.solve_uniprot import main\n"
         f"a = ['--database', {db_path!r}, '--engine', 'pallas',\n"
-        "     '--batch-size', '4096', '--pad-mult', '512',\n"
+        "     '--batch-size', '8192', '--pad-mult', '512',\n"
         "     '--matrix', 'blosum50', '--top', '3']\n"
         f"main(a + ['--output', {out!r}])\n"
         f"main(a + ['--output', {out!r}])\n"

@@ -17,5 +17,5 @@ for name, gopen in (("linear", 0.0), ("affine", 10.0)):
     xs, ys, m, n, _ = build_protein_inputs(128)
     eng.score_batch(xs, ys, m, n)  # first-batch oracle gate
     print(f"[{name}] first-batch oracle gate PASSED", flush=True)
-    k, e = kernel_estimate(eng, builder=build_protein_inputs)
+    k, e, _, _ = kernel_estimate(eng, builder=build_protein_inputs)
     print(f"[{name}] kernel={k:.1f} GCUPS  e2e(B=5120)={e:.1f} GCUPS", flush=True)

@@ -362,27 +362,41 @@ def _packed_luts(matrix, alphabet_bytes):
 PACKED_VARSHIFT = True
 
 
-def _packed_sow(pprof_ref, worst: int, slot: int):
+def _packed_sow(pprof_ref, worst: int, slot: int, ncodes: int = PROF_CODES):
     """score_of_window closure over a packed profile block (8, S, B).
 
     ywin carries compact y codes (0..31). Selection = binary tree on code
-    bits 4/3/2 over the 8 packed words (7 selects), then byte extraction by
-    the low 2 bits (see PACKED_VARSHIFT). Biased bytes are unscaled in
+    bits 4/3/2 over the packed words (<= 7 selects), then byte extraction
+    by the low 2 bits (see PACKED_VARSHIFT). Biased bytes are unscaled in
     VMEM; the slot scale is applied at extraction
-    (v * s + worst * s == score * s)."""
+    (v * s + worst * s == score * s).
+
+    ncodes (static) = number of reachable codes (alphabet + pad). Words
+    whose codes can never occur are pruned from the tree — their loads AND
+    their selects disappear (e.g. the 24-letter protein alphabet + pad uses
+    25 codes = 7 words, dropping word 7 and one select; a DNA-sized custom
+    matrix collapses to 2 words and a single select)."""
     W, S_, B = pprof_ref.shape
-    pw = [pprof_ref[w] for w in range(PROF_WORDS)]
+    nw = min(W, (max(ncodes, 1) + 3) // 4)
+    pw = [pprof_ref[w] for w in range(nw)]
     s = slot or 1
     worst_s = np.asarray(worst * s, jnp.int32)
     sfac = np.asarray(s, jnp.int32)
     c255 = np.asarray(255, jnp.int32)
 
     def sow(ywin):
-        b2 = (ywin & 16) != 0
-        t0 = [jnp.where(b2, pw[4 + i], pw[i]) for i in range(4)]
-        b1 = (ywin & 8) != 0
-        t1 = [jnp.where(b1, t0[2 + i], t0[i]) for i in range(2)]
-        word = jnp.where((ywin & 4) != 0, t1[1], t1[0])
+        t = pw
+        for stride, cbit in ((4, 16), (2, 8), (1, 4)):
+            if len(t) <= stride:
+                continue  # every high branch unreachable at this level
+            cond = (ywin & cbit) != 0
+            t = [
+                jnp.where(cond, t[i + stride], t[i])
+                if i + stride < len(t)
+                else t[i]
+                for i in range(stride)
+            ]
+        word = t[0]
         if PACKED_VARSHIFT:
             v = (word >> ((ywin & 3) << 3)) & c255
         else:
@@ -396,14 +410,15 @@ def _packed_sow(pprof_ref, worst: int, slot: int):
 
 
 def _kernel_profile(pprof_ref, y_ref, best_ref, bestd_ref,
-                    *, nblk: int, worst: int, gap: int, slot: int = 0):
+                    *, nblk: int, worst: int, gap: int, slot: int = 0,
+                    ncodes: int = PROF_CODES):
     """Substitution-matrix scoring via PACKED per-read score profiles (see
     _packed_luts): y_ref holds compact codes, pprof_ref the (8, M, B) packed
     words — no gathers in the hot loop, ~19 VPU ops per cell regardless of
     alphabet size (the round-3 A-way selector cost ~2A)."""
     W, M, B = pprof_ref.shape
     s = slot or 1
-    score_of_window, _ = _packed_sow(pprof_ref, worst, slot)
+    score_of_window, _ = _packed_sow(pprof_ref, worst, slot, ncodes)
     outer = _make_body(score_of_window, y_ref, M, B, slot=slot)
     zeros = jnp.zeros((M, B), jnp.int32)
     init = (zeros, zeros, zeros, zeros, zeros)
@@ -420,7 +435,7 @@ def _kernel_profile(pprof_ref, y_ref, best_ref, bestd_ref,
 
 def _kernel_profile_affine(pprof_ref, y_ref, best_ref, bestd_ref,
                            *, nblk: int, worst: int, gap: int, gopen: int,
-                           slot: int = 0):
+                           slot: int = 0, ncodes: int = PROF_CODES):
     """Affine-gap (Gotoh) kernel with substitution-matrix scoring via
     PACKED per-read score profiles — the exact swps3 protein configuration
     (BLOSUM + open/extend gaps, e.g. 12/2) on the fast path. Same H/E/F
@@ -428,7 +443,7 @@ def _kernel_profile_affine(pprof_ref, y_ref, best_ref, bestd_ref,
     word-select as _kernel_profile (no gathers in the hot loop)."""
     W, M, B = pprof_ref.shape
     s = slot or 1
-    sow, _ = _packed_sow(pprof_ref, worst, slot)
+    sow, _ = _packed_sow(pprof_ref, worst, slot, ncodes)
     gp = np.asarray(gap * s, jnp.int32)
     go = np.asarray(gopen * s, jnp.int32)
     zrow = jnp.zeros((1, B), jnp.int32)
@@ -474,10 +489,10 @@ def _kernel_profile_affine(pprof_ref, y_ref, best_ref, bestd_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("worst", "best_sub", "gap", "gopen", "interpret", "shared"),
+    static_argnames=("worst", "best_sub", "gap", "gopen", "interpret", "shared", "ncodes"),
 )
 def _call_profile_affine(pprof, ys, *, worst, best_sub, gap, gopen,
-                         interpret, shared=False):
+                         interpret, shared=False, ncodes=PROF_CODES):
     W, M, B_p = pprof.shape
     Ny, B = ys.shape
     nblk = (M + Ny + UNROLL - 2) // UNROLL
@@ -485,7 +500,7 @@ def _call_profile_affine(pprof, ys, *, worst, best_sub, gap, gopen,
     slot = _pick_slot(nblk * UNROLL, max(best_sub, 1) * M)
     kernel = functools.partial(
         _kernel_profile_affine, nblk=nblk, worst=worst,
-        gap=gap, gopen=gopen, slot=slot,
+        gap=gap, gopen=gopen, slot=slot, ncodes=ncodes,
     )
     tail, out_specs = _common_specs(M, Ny)
     if shared:
@@ -679,9 +694,10 @@ def _encode_y(ys, encode_lut):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("worst", "best_sub", "gap", "interpret", "shared")
+    jax.jit, static_argnames=("worst", "best_sub", "gap", "interpret", "shared", "ncodes")
 )
-def _call_profile(pprof, ys, *, worst, best_sub, gap, interpret, shared=False):
+def _call_profile(pprof, ys, *, worst, best_sub, gap, interpret,
+                  shared=False, ncodes=PROF_CODES):
     """shared=True: pprof is a single (8, M, LANE) block reused by every
     lane block (all lanes share one query — the UNIPROT database scan),
     saving the (8, M, B) broadcast in HBM."""
@@ -692,7 +708,7 @@ def _call_profile(pprof, ys, *, worst, best_sub, gap, interpret, shared=False):
     slot = _pick_slot(nblk * UNROLL, max(best_sub, 1) * M)
     kernel = functools.partial(
         _kernel_profile, nblk=nblk, worst=worst, gap=gap,
-        slot=slot,
+        slot=slot, ncodes=ncodes,
     )
     tail, out_specs = _common_specs(M, Ny)
     if shared:
@@ -770,7 +786,8 @@ def _kernel_strips(x_ref, y_ref, best_ref, bestd_ref,
 
 def _kernel_strips_profile(pprof_ref, y_ref, best_ref, bestd_ref,
                            lr_hi_ref, lr_lo_ref, *, nblk: int, worst: int,
-                           gap: int, slot: int = 0):
+                           gap: int, slot: int = 0,
+                           ncodes: int = PROF_CODES):
     """Substitution-matrix strip kernel: long protein queries (> MAX_M
     residues, e.g. titin-class) stay on the Pallas fast path instead of
     falling back to the scan engine (the UNIPROT custom-scoring requirement,
@@ -783,7 +800,7 @@ def _kernel_strips_profile(pprof_ref, y_ref, best_ref, bestd_ref,
     float32 scratches crash across uniform/profile/affine strip kernels;
     every int16 configuration passes, and the int16-pair fix passed with
     this exact kernel)."""
-    sow, shape = _packed_sow(pprof_ref, worst, slot)
+    sow, shape = _packed_sow(pprof_ref, worst, slot, ncodes)
     _strips_body(sow, shape, y_ref, best_ref, bestd_ref, None,
                  (lr_hi_ref, lr_lo_ref), nblk=nblk, gap=gap, slot=slot)
 
@@ -806,7 +823,7 @@ def _kernel_strips_profile_affine(pprof_ref, y_ref, best_ref, bestd_ref,
                                   lr_hi_ref, lr_lo_ref, flr_hi_ref,
                                   flr_lo_ref, *, nblk: int,
                                   worst: int, gap: int, gopen: int,
-                                  slot: int = 0):
+                                  slot: int = 0, ncodes: int = PROF_CODES):
     """Affine + substitution-matrix strip kernel: titin-class protein
     queries with open/extend gaps stay on the Pallas fast path. Packed
     profile scoring of _kernel_strips_profile + dual H/F boundary rows,
@@ -814,7 +831,7 @@ def _kernel_strips_profile_affine(pprof_ref, y_ref, best_ref, bestd_ref,
     rounds-2/3 worker crashes of this kernel were the 32-bit-scratch v5e
     Mosaic fault, root-caused and fixed by benchmarks/probe_pa_bisect.py
     2026-08-20 — NOT a VMEM overrun and NOT specific to this kernel)."""
-    sow, shape = _packed_sow(pprof_ref, worst, slot)
+    sow, shape = _packed_sow(pprof_ref, worst, slot, ncodes)
     _strips_body(sow, shape, y_ref, best_ref, bestd_ref, None,
                  (lr_hi_ref, lr_lo_ref), nblk=nblk, gap=gap, slot=slot,
                  gopen=gopen, flastrow_ref=(flr_hi_ref, flr_lo_ref))
@@ -1108,9 +1125,10 @@ def _call_strips_affine(xs, ys, *, match, mismatch, gap, gopen, interpret):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("worst", "best_sub", "gap", "interpret"),
+    static_argnames=("worst", "best_sub", "gap", "interpret", "ncodes"),
 )
-def _call_strips_profile(pprof, ys, *, worst, best_sub, gap, interpret):
+def _call_strips_profile(pprof, ys, *, worst, best_sub, gap, interpret,
+                         ncodes=PROF_CODES):
     W, M, B = pprof.shape
     Ny = ys.shape[0]
     S = STRIP_S
@@ -1123,7 +1141,7 @@ def _call_strips_profile(pprof, ys, *, worst, best_sub, gap, interpret):
     slot = _pick_slot(nblk * UNROLL, max(best_sub, 1) * M)
     kernel = functools.partial(
         _kernel_strips_profile, nblk=nblk, worst=worst,
-        gap=gap, slot=slot,
+        gap=gap, slot=slot, ncodes=ncodes,
     )
     Nlr = Ny + 4 * UNROLL
     best, bestd = pl.pallas_call(
@@ -1156,10 +1174,10 @@ def _call_strips_profile(pprof, ys, *, worst, best_sub, gap, interpret):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("worst", "best_sub", "gap", "gopen", "interpret"),
+    static_argnames=("worst", "best_sub", "gap", "gopen", "interpret", "ncodes"),
 )
 def _call_strips_profile_affine(pprof, ys, *, worst, best_sub, gap,
-                                gopen, interpret):
+                                gopen, interpret, ncodes=PROF_CODES):
     W, M, B = pprof.shape
     Ny = ys.shape[0]
     # The rounds-2/3 worker crashes of this kernel were NOT VMEM pressure:
@@ -1174,7 +1192,7 @@ def _call_strips_profile_affine(pprof, ys, *, worst, best_sub, gap,
     slot = _pick_slot(nblk * UNROLL, max(best_sub, 1) * M)
     kernel = functools.partial(
         _kernel_strips_profile_affine, nblk=nblk,
-        worst=worst, gap=gap, gopen=gopen, slot=slot,
+        worst=worst, gap=gap, gopen=gopen, slot=slot, ncodes=ncodes,
     )
     Nlr = Ny + 4 * UNROLL
     best, bestd = pl.pallas_call(
@@ -1552,7 +1570,8 @@ def score_lanes_jit(x_lanes, y_lanes, *, match: int, mismatch: int, gap: int,
 
 def score_lanes_profile_jit(x_lanes, y_lanes, packed_lut, encode_lut, *,
                             worst: int, best_sub: int, gap: int,
-                            interpret: bool, gopen: int = 0):
+                            interpret: bool, gopen: int = 0,
+                            ncodes: int = PROF_CODES):
     """Traceable substitution-matrix batch scorer for use INSIDE jit /
     shard_map — the profile sibling of score_lanes_jit, so MeshAligner can
     run BLOSUM-class scoring (the UNIPROT workload,
@@ -1582,12 +1601,12 @@ def score_lanes_profile_jit(x_lanes, y_lanes, packed_lut, encode_lut, *,
     if gopen:
         best, bestd = _call_profile_affine(
             pprof, ycodes, worst=worst, best_sub=best_sub,
-            gap=gap, gopen=gopen, interpret=interpret,
+            gap=gap, gopen=gopen, interpret=interpret, ncodes=ncodes,
         )
     else:
         best, bestd = _call_profile(
             pprof, ycodes, worst=worst, best_sub=best_sub,
-            gap=gap, interpret=interpret,
+            gap=gap, interpret=interpret, ncodes=ncodes,
         )
     score, i, j = _reduce_best(best, bestd)
     return score[:B0], i[:B0], j[:B0]
@@ -1595,11 +1614,13 @@ def score_lanes_profile_jit(x_lanes, y_lanes, packed_lut, encode_lut, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("N", "worst", "best_sub", "gap", "gopen", "interpret"),
+    static_argnames=("N", "worst", "best_sub", "gap", "gopen", "interpret",
+                     "ncodes"),
 )
 def score_db_slab_jit(slab_codes, row0, lens, pprof,
                       *, N: int, worst: int, best_sub: int, gap: int,
-                      gopen: int, interpret: bool):
+                      gopen: int, interpret: bool,
+                      ncodes: int = PROF_CODES):
     """Score one batch of database entries SLICED from a device-resident
     pre-transposed, pre-ENCODED slab — the TPU-native replacement for the
     reference's per-rank file loop (src/mpi_sw_solve_uniprot.cpp:95-138).
@@ -1637,12 +1658,12 @@ def score_db_slab_jit(slab_codes, row0, lens, pprof,
     if gopen:
         best, bestd = _call_profile_affine(
             pprof, ycodes, worst=worst, best_sub=best_sub, gap=gap,
-            gopen=gopen, interpret=interpret, shared=True,
+            gopen=gopen, interpret=interpret, shared=True, ncodes=ncodes,
         )
     else:
         best, bestd = _call_profile(
             pprof, ycodes, worst=worst, best_sub=best_sub, gap=gap,
-            interpret=interpret, shared=True,
+            interpret=interpret, shared=True, ncodes=ncodes,
         )
     score, i, j = _reduce_best(best, bestd)
     return score, i, j
@@ -2066,6 +2087,12 @@ class PallasEngine:
         return {"args": args, "B0": B0, "strips": strips,
                 "m": np.asarray(m, np.int32), "n": np.asarray(n, np.int32)}
 
+    def _ncodes(self) -> int:
+        """Reachable compact-code count (alphabet + pad code 0) — static
+        arg that lets _packed_sow prune unreachable select-tree branches
+        and their word loads."""
+        return len(self.cfg.alphabet) + 1
+
     def _lut(self):
         """Packed-profile LUT pair (see _packed_luts), device-resident
         (built once per engine). Unknown residues score as the matrix
@@ -2106,7 +2133,7 @@ class PallasEngine:
                     *args,
                     worst=int(S.min()), best_sub=int(S.max()),
                     gap=int(self.cfg.gap_penalty), gopen=int(self.cfg.gap_open),
-                    interpret=self.interpret,
+                    interpret=self.interpret, ncodes=self._ncodes(),
                 )
             else:
                 S = np.asarray(self.cfg.matrix).astype(np.int32)
@@ -2114,7 +2141,7 @@ class PallasEngine:
                     *args,
                     worst=int(S.min()), best_sub=int(S.max()),
                     gap=int(self.cfg.gap_penalty),
-                    interpret=self.interpret,
+                    interpret=self.interpret, ncodes=self._ncodes(),
                 )
             strip_s = (
                 STRIP_S_PA
@@ -2138,7 +2165,7 @@ class PallasEngine:
                 *args,
                 worst=int(S.min()), best_sub=int(S.max()),
                 gap=int(self.cfg.gap_penalty), gopen=int(self.cfg.gap_open),
-                interpret=self.interpret,
+                interpret=self.interpret, ncodes=self._ncodes(),
             )
         elif self.cfg.is_uniform:
             M, Ny = args[0].shape[0], args[1].shape[0]
@@ -2159,6 +2186,7 @@ class PallasEngine:
                 *args, worst=int(S.min()),
                 best_sub=int(S.max()),
                 gap=int(self.cfg.gap_penalty), interpret=self.interpret,
+                ncodes=self._ncodes(),
             )
         if not need_pos:
             # Score-only kernels don't track argmax; i/j are not meaningful.

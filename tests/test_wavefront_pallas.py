@@ -191,3 +191,73 @@ def test_first_batch_verification_gate(rng):
     bad["score"] = np.asarray(res["score"]) + 1
     with pytest.raises(RuntimeError, match="first-batch check FAILED"):
         eng._verify_first(x, y, m, n, bad, need_pos=True, path="uniform")
+
+
+def test_packed_sow_pruned_tree_matches_full(rng):
+    """The ncodes-pruned word-select tree (dead words dropped: e.g. the
+    25-code protein alphabet never reaches packed word 7) must score
+    identically to the unpruned 32-code tree on every reachable code."""
+    import jax.numpy as jnp
+
+    from parallel_genomeseq_tpu.ops.substitution import ALPHABET, blosum_config
+    from parallel_genomeseq_tpu.ops.wavefront_pallas import (
+        PROF_CODES,
+        _packed_luts,
+        _packed_sow,
+    )
+
+    cfg = blosum_config("blosum50", gap_penalty=2.0)
+    plut, elut = _packed_luts(np.asarray(cfg.matrix), ALPHABET.encode())
+    ncodes = len(ALPHABET) + 1
+    # One x row per alphabet letter (plus a pad row), every reachable y code.
+    xs = np.frombuffer(ALPHABET.encode(), np.uint8)
+    M = len(xs)
+    B = 128
+    pprof = np.transpose(plut[xs.astype(np.int32)], (1, 0))[:, :, None]
+    pprof = np.broadcast_to(pprof, (plut.shape[1], M, B)).astype(np.int32)
+    ywin = rng.integers(0, ncodes, size=(M, B)).astype(np.int32)
+
+    class FakeRef:
+        shape = pprof.shape
+
+        def __getitem__(self, w):
+            return jnp.asarray(pprof[w])
+
+    for slot in (0, 256):
+        full, _ = _packed_sow(FakeRef(), int(np.asarray(cfg.matrix).min()),
+                              slot, PROF_CODES)
+        pruned, _ = _packed_sow(FakeRef(), int(np.asarray(cfg.matrix).min()),
+                                slot, ncodes)
+        a = np.asarray(full(jnp.asarray(ywin)))
+        b = np.asarray(pruned(jnp.asarray(ywin)))
+        np.testing.assert_array_equal(a, b)
+    # And the scores themselves are the matrix entries (code c = letter c-1).
+    s0 = np.asarray(pruned(jnp.asarray(ywin)))
+    Smat = np.asarray(cfg.matrix)
+    for i in (0, M - 1):
+        for b in (0, B - 1):
+            c = ywin[i, b]
+            want = Smat[i, c - 1] if c > 0 else Smat.min()
+            assert s0[i, b] == want * (slot or 1)
+
+
+def test_i16_pair_row_encoding_roundtrip():
+    """The int16 hi/lo boundary-row pair (the fix for the v5e 32-bit
+    scratch fault, see _rows_init) must be exact for the full value range
+    the strip kernels produce, including the negative affine F init."""
+    vals = np.array(
+        [0, 1, -1, -13, 32767, 32768, -32768, 2**29, -(2**29), 2**30 - 1],
+        np.int64,
+    )
+    hi, lo = np.divmod(vals, 1 << 15)  # numpy divmod == python divmod: floor
+    assert hi.min() >= -(2**15) and hi.max() < 2**15, "hi fits int16"
+    assert lo.min() >= 0 and lo.max() < (1 << 15), "lo fits int16 (positive)"
+    back = hi.astype(np.int16).astype(np.int64) * (1 << 15) + lo.astype(
+        np.int16
+    ).astype(np.int64)
+    np.testing.assert_array_equal(back, vals)
+    # The in-kernel store path uses arithmetic shift, not divmod — same split.
+    h2 = vals >> 15
+    l2 = vals - (h2 << 15)
+    np.testing.assert_array_equal(h2, hi)
+    np.testing.assert_array_equal(l2, lo)
