@@ -138,7 +138,12 @@ def main(argv=None):
     # dynamic_slice on device (score_db_slab_jit) — no per-batch sequence
     # upload (round 3's 0.77 GCUPS bound) and no per-byte device gather
     # (round 4's first cut: 79 of 86 ms/batch, probe_uniprot_phase.py).
-    from ..ops.wavefront_pallas import LANE, MAX_M, PallasEngine, score_db_slab_jit
+    from ..ops.wavefront_pallas import (
+        LANE,
+        MAX_M,
+        PallasEngine,
+        score_db_slab_group_jit,
+    )
 
     resident = (
         isinstance(engine, PallasEngine)
@@ -228,7 +233,16 @@ def main(argv=None):
         batches = [pend.popleft() for _ in range(min(GROUP, len(pend)))]
         fetched = jax.device_get([b[1] for b in batches])
         w = csv.writer(ckpt_f) if ckpt_f is not None else None
+        rows = []
         for (idxs, _), (score, jj) in zip(batches, fetched):
+            if idxs and isinstance(idxs[0], list):
+                # Resident GROUP entry: k sub-batches with (k, B) results.
+                rows.extend(
+                    (sub, score[g], jj[g]) for g, sub in enumerate(idxs)
+                )
+            else:
+                rows.append((idxs, score, jj))
+        for idxs, score, jj in rows:
             if not verified[0]:
                 _verify_resident(idxs, score, jj)
             for bi, k in enumerate(idxs):
@@ -299,15 +313,24 @@ def main(argv=None):
         slab_dev = jax.device_put(slab)
         lens_dev = jax.device_put(lens_mat)
         row0_dev = jax.device_put(row0s)
-        # One jitted dynamic-index program shared by every batch: a static
-        # python index (lens_dev[bi]) would specialize one tiny executable
-        # PER BATCH — and on this rig every executable's first invocation
-        # pays a multi-second load tax through the remote tunnel.
-        _row = jax.jit(
-            lambda mat, i: jax.lax.dynamic_index_in_dim(
-                mat, i, axis=0, keepdims=False
-            )
-        )
+        # Group contiguous same-N batch runs (lengths are sorted, so equal
+        # padded-N batches are adjacent) into scan dispatches of up to
+        # GK batches: one dispatch + one result fetch per group instead of
+        # per batch (~12 ms host/tunnel overhead per dispatch measured on
+        # this rig), with executables keyed by the few (N, k) shapes.
+        GK = 8
+        groups = []  # (g0, k, N)
+        g0 = 0
+        while g0 < nb:
+            k = 1
+            while (
+                g0 + k < nb
+                and Ns[g0 + k] == Ns[g0]
+                and k < GK
+            ):
+                k += 1
+            groups.append((g0, k, int(Ns[g0])))
+            g0 += k
         slab_dev.block_until_ready()
         # DB prep (pack + upload) is reported separately and excluded from
         # the scored GCUPS — the reference's own methodology excludes IO
@@ -320,19 +343,24 @@ def main(argv=None):
         )
 
     t_start = time.perf_counter()
-    for s in range(0, len(order), B):
-        idxs = order[s : s + B]
-        if resident:
-            bi = s // B
-            score, ii, jj = score_db_slab_jit(
-                slab_dev, _row(row0_dev, bi), _row(lens_dev, bi), pprof_dev,
-                N=int(Ns[bi]), worst=worst_i, best_sub=best_i, gap=gap_i,
+    if resident and order:
+        for g0, k, N in groups:
+            score, ii, jj = score_db_slab_group_jit(
+                slab_dev, g0, row0_dev, lens_dev, pprof_dev,
+                k=k, N=N, worst=worst_i, best_sub=best_i, gap=gap_i,
                 gopen=gopen_i, interpret=engine.interpret,
                 ncodes=len(cfg.alphabet) + 1,
             )
-            pend.append((idxs, (score[: len(idxs)], jj[: len(idxs)])))
-            cells += len(qb) * int(lens_mat[bi].sum())
-        else:
+            batches = [
+                order[(g0 + g) * B : (g0 + g + 1) * B] for g in range(k)
+            ]
+            pend.append((batches, (score, jj)))
+            cells += len(qb) * int(lens_mat[g0 : g0 + k].sum())
+            if len(pend) > DEPTH:
+                collect_group()
+    if not resident:
+        for s in range(0, len(order), B):
+            idxs = order[s : s + B]
             seqs = [to_bytes(entries[k][1]) for k in idxs]
             n = np.array([len(v) for v in seqs], np.int32)
             N = _round_up(int(n.max()), args.pad_mult)
@@ -342,8 +370,7 @@ def main(argv=None):
             try:
                 res = engine.score_batch(xs, ys, m, n)
             except EnvelopeError:
-                # Shapes outside the Pallas kernels' envelope (e.g. the gated
-                # affine+matrix strip kernel for >2048-aa queries) fall back to
+                # Shapes outside the Pallas kernels' envelope fall back to
                 # the scan wavefront permanently for this run.
                 from ..ops.scan_dp import ScanEngine
 
@@ -351,8 +378,8 @@ def main(argv=None):
                 res = engine.score_batch(xs, ys, m, n)
             pend.append((idxs, (res["score"], res["j"])))
             cells += len(qb) * int(n.sum())
-        if len(pend) > DEPTH:
-            collect_group()
+            if len(pend) > DEPTH:
+                collect_group()
     while pend:
         collect_group()
     t_total = time.perf_counter() - t_start if order else 0.0

@@ -1669,6 +1669,46 @@ def score_db_slab_jit(slab_codes, row0, lens, pprof,
     return score, i, j
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "N", "worst", "best_sub", "gap", "gopen",
+                     "interpret", "ncodes"),
+)
+def score_db_slab_group_jit(slab_codes, g0, row0_all, lens_all, pprof,
+                            *, k: int, N: int, worst: int, best_sub: int,
+                            gap: int, gopen: int, interpret: bool,
+                            ncodes: int = PROF_CODES):
+    """Score a GROUP of k same-shape batches in ONE dispatch via lax.scan.
+
+    The per-batch dispatch of score_db_slab_jit costs ~12 ms of host/tunnel
+    overhead per batch on this rig even with everything device-resident
+    (69 dispatches dominated the 1.4-1.6 s warm full-DB scan). Batches are
+    length-sorted, so equal padded-N batches form contiguous runs; scanning
+    a run inside one program cuts the dispatch count to the number of
+    (N, k) groups and returns the whole group's results in one fetch.
+
+    g0: scalar int32 first batch index of this group. row0_all: (nb,)
+    int32 resident per-batch slab row offsets. lens_all: (nb, B) int32
+    resident per-batch entry lengths. Returns (score, i, j), each (k, B)
+    int32 — row g is identical to score_db_slab_jit on batch g0 + g.
+    """
+    B = slab_codes.shape[1]
+    row0s = jax.lax.dynamic_slice_in_dim(row0_all, g0, k)
+    lens_k = jax.lax.dynamic_slice_in_dim(lens_all, g0, k)
+
+    def step(_, inp):
+        row0, lens = inp
+        out = score_db_slab_jit(
+            slab_codes, row0, lens, pprof, N=N, worst=worst,
+            best_sub=best_sub, gap=gap, gopen=gopen, interpret=interpret,
+            ncodes=ncodes,
+        )
+        return 0, out
+
+    _, (score, i, j) = jax.lax.scan(step, 0, (row0s, lens_k))
+    return score, i, j
+
+
 class PallasEngine:
     """Drop-in score engine with the ScanEngine result contract.
 
