@@ -378,6 +378,12 @@ def _packed_sow(pprof_ref, worst: int, slot: int, ncodes: int = PROF_CODES):
     matrix collapses to 2 words and a single select)."""
     W, S_, B = pprof_ref.shape
     nw = min(W, (max(ncodes, 1) + 3) // 4)
+    # Measured dead end (2026-08-21, probe_shared_tree.py): loading ONE
+    # lane column per word for shared-query profiles (and broadcasting in
+    # the selects) changes nothing — ~72 GCUPS padded either way. The
+    # kernel's bound includes the per-lane (M, B) select-tree
+    # intermediates, which narrow loads cannot reduce; only fewer WORDS
+    # help (probe_small_alphabet.py: 2 words -> 199.5 GCUPS).
     pw = [pprof_ref[w] for w in range(nw)]
     s = slot or 1
     worst_s = np.asarray(worst * s, jnp.int32)
