@@ -90,7 +90,8 @@ def _score_lanes_pallas(x_rm, y_pn, match, mismatch, gap, interpret, gopen=0):
 
 
 def _score_lanes_pallas_profile(x_rm, y_pn, packed_lut, encode_lut, worst,
-                                best_sub, gap, interpret, gopen=0):
+                                best_sub, gap, interpret, gopen=0,
+                                ncodes=None):
     """Substitution-matrix sibling of _score_lanes_pallas: score all (local
     reads x local pieces) lanes with the Pallas packed-profile kernel —
     BLOSUM-class scoring on TPU meshes (the UNIPROT workload the reference
@@ -101,9 +102,12 @@ def _score_lanes_pallas_profile(x_rm, y_pn, packed_lut, encode_lut, worst,
     Pl, N = y_pn.shape
     xs = jnp.repeat(x_rm, Pl, axis=0)  # lane = r * Pl + p
     ys = jnp.tile(y_pn, (Rl, 1))
+    from ..ops.wavefront_pallas import PROF_CODES
+
     score, i, j = score_lanes_profile_jit(
         xs, ys, packed_lut, encode_lut, worst=worst, best_sub=best_sub,
         gap=gap, interpret=interpret, gopen=gopen,
+        ncodes=ncodes or PROF_CODES,
     )
     return (
         score.reshape(Rl, Pl),
@@ -276,7 +280,7 @@ class MeshAligner:
             if use_pallas and not uniform:
                 score, i, j = _score_lanes_pallas_profile(
                     x, y, plut, elut, worst_i, best_i, gap_i, interpret,
-                    gopen_i,
+                    gopen_i, ncodes=len(self.cfg.alphabet) + 1,
                 )  # (Rl, Pl)
             elif use_pallas:
                 score, i, j = _score_lanes_pallas(
