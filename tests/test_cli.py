@@ -241,3 +241,42 @@ def test_solve_uniprot_checkpoint_resume(tmp_path, rng, capsys):
     assert "resume: 4 proteins restored" in captured
     assert "6 to go" in captured
     assert out.read_text() == full
+
+
+def test_solve_uniprot_resident_resume(tmp_path, rng, capsys):
+    """Kill-and-resume on the device-resident SLAB path (--engine pallas):
+    resume filters `order`, so the slab layout and same-N dispatch groups
+    are rebuilt from the surviving batch composition — the merged output
+    must still be byte-identical to the uninterrupted run."""
+    from parallel_genomeseq_tpu.cli.solve_uniprot import main
+
+    alpha = list("ARNDCQEGHILKMFPSTWYV")
+    qf = tmp_path / "q.fasta"
+    qf.write_text(">q\n" + "".join(rng.choice(alpha, 40)) + "\n")
+    db = tmp_path / "db.fasta"
+    with open(db, "w") as f:
+        for k in range(13):
+            f.write(f">p{k}\n" + "".join(rng.choice(alpha, 50 + 11 * k)) + "\n")
+    out = tmp_path / "o.csv"
+    ckpt = tmp_path / "o.csv.ckpt"
+    base = [
+        "--platform", "cpu", "--engine", "pallas", "--query", str(qf),
+        "--database", str(db), "--output", str(out), "--batch-size", "4",
+        "--pad-mult", "64",
+    ]
+    assert main(base + ["--checkpoint", str(ckpt)]) == 0
+    captured = capsys.readouterr().out
+    assert "resident DB:" in captured  # the slab path actually ran
+    full = out.read_text()
+    lines = ckpt.read_text().splitlines()
+    assert len(lines) == 13
+
+    # Simulate a kill after the first 5 checkpointed proteins (mid-batch:
+    # the surviving order re-buckets into different groups).
+    ckpt.write_text("\n".join(lines[:5]) + "\n")
+    out.unlink()
+    assert main(base + ["--resume"]) == 0
+    captured = capsys.readouterr().out
+    assert "resume: 5 proteins restored" in captured
+    assert "resident DB:" in captured
+    assert out.read_text() == full
