@@ -17,7 +17,6 @@ Usage: python benchmarks/probe_uniprot_phase.py [B ...]
 """
 
 import functools
-import os
 import pathlib
 import sys
 import time
