@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import csv
+import os
 import sys
 import time
 
@@ -45,7 +46,13 @@ def _round_up(v, mult):
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--query", default=str(common.REFERENCE_DATA / "query/P02232.fasta"))
+    p.add_argument(
+        "--query", default=str(common.REFERENCE_DATA / "query/P02232.fasta"),
+        help="query FASTA; a comma-separated list scans MULTIPLE queries "
+        "against the same resident database (the expensive DB pack/upload "
+        "is query-independent and paid once — a serving shape the "
+        "reference's one-shot per-query MPI run cannot express)",
+    )
     p.add_argument("--database", required=True, help="FASTA or line-per-protein database")
     p.add_argument("--output", default=str(common.REPO_DATA / "uniprot_output.csv"))
     p.add_argument("--matrix", default="blosum50", choices=["blosum50", "blosum62", "uniform"])
@@ -98,7 +105,14 @@ def main(argv=None):
     args = p.parse_args(argv)
     common.apply_platform(args)
 
-    query = read_fasta(args.query)
+    qpaths = [q.strip() for q in args.query.split(",") if q.strip()]
+    queries = [(os.path.splitext(os.path.basename(qp))[0], read_fasta(qp))
+               for qp in qpaths]
+    multi_q = len(queries) > 1
+    if multi_q and (args.checkpoint or args.resume):
+        p.error("--checkpoint/--resume require a single --query "
+                "(checkpoint rows are keyed by protein name only)")
+    query = queries[0][1]
     entries = list(iter_database(args.database))
     if args.limit:
         entries = entries[: args.limit]
@@ -112,7 +126,10 @@ def main(argv=None):
             f"{len(entries)}/{total} proteins local"
         )
         args.output = f"{args.output}.part{args.process_id}"
-    print(f"solve_uniprot: query {len(query)}aa vs {len(entries)} proteins")
+    qdesc = (f"{len(queries)} queries" if multi_q
+             else f"query {len(query)}aa")
+    print(f"solve_uniprot: {qdesc} vs {len(entries)} proteins"
+          + (f" (query {len(query)}aa first)" if multi_q else ""))
 
     if args.matrix == "uniform":
         from ..utils.config import ScoringConfig
@@ -156,18 +173,21 @@ def main(argv=None):
         plut, elut = engine._lut()
         plut_np = np.asarray(plut)
         elut_np = np.asarray(elut)
-        Mq = _round_up(len(qb), 8)
-        qcol = np.full(Mq, 1, np.uint8)  # X_PAD
-        qcol[: len(qb)] = qb
-        # Packed query profile, computed ONCE (query-constant): (8, Mq, LANE),
-        # shared by every grid block (score_db_slab_jit shared=True path).
-        pprof_np = np.ascontiguousarray(
-            np.broadcast_to(
+        # Slab tail sizing uses the LONGEST query; each query's packed
+        # profile is built per scan below (tiny — the slab is the shared,
+        # expensive part).
+        Mq = max(_round_up(len(to_bytes(q)), 8) for _, q in queries)
+
+        def build_pprof(qb_):
+            Mq_ = _round_up(len(qb_), 8)
+            qcol = np.full(Mq_, 1, np.uint8)  # X_PAD
+            qcol[: len(qb_)] = qb_
+            return jax.device_put(np.ascontiguousarray(np.broadcast_to(
                 plut_np[qcol.astype(np.int32)].T[:, :, None],
-                (plut_np.shape[1], Mq, LANE),
-            )
-        )
-        pprof_dev = jax.device_put(pprof_np)
+                (plut_np.shape[1], Mq_, LANE),
+            )))
+
+        pprof_dev = build_pprof(qb)
         Smat = np.asarray(cfg.matrix).astype(np.int32)
         worst_i, best_i = int(Smat.min()), int(Smat.max())
         gap_i, gopen_i = int(cfg.gap_penalty), int(cfg.gap_open)
@@ -175,8 +195,6 @@ def main(argv=None):
     # Checkpoint/resume: results are appended per batch keyed by protein
     # name (names survive reordering/limit changes; the reference's one-shot
     # MPI run has to restart the whole DB on any failure).
-    import os
-
     ckpt_path = args.checkpoint or (f"{args.output}.ckpt" if args.resume else "")
     ckpt_f = None
     if ckpt_path:
@@ -193,69 +211,6 @@ def main(argv=None):
                   f"{len(order)} to go")
         os.makedirs(os.path.dirname(ckpt_path) or ".", exist_ok=True)
         ckpt_f = open(ckpt_path, "a", newline="")
-
-    # Pipelined scoring: up to DEPTH batches stay dispatched ahead of the
-    # oldest blocking fetch, so device compute overlaps the host round trips
-    # (and the checkpoint writes) of earlier batches. The resident path runs
-    # a deeper pipeline and fetches GROUP batches per device_get (results
-    # are a few KB each; one blocking fetch costs a full tunnel RTT).
-    import jax
-    from collections import deque
-
-    DEPTH = 24 if resident else 3
-    GROUP = 8 if resident else 1
-    cells = 0
-    done_cnt = 0
-    pend = deque()
-    verified = [not resident or engine.interpret]
-
-    def _verify_resident(idxs, score_h, jj_h):
-        """First-batch miscompile gate for the resident path (mirrors
-        PallasEngine._verify_first; that gate lives in score_batch, which
-        this path bypasses)."""
-        from ..ops.oracle import sw_affine_score_fast, sw_score_fast
-
-        fast = sw_affine_score_fast if cfg.is_affine else sw_score_fast
-        for bi in {0, len(idxs) - 1}:
-            want = fast(qb, to_bytes(entries[idxs[bi]][1]), cfg)
-            got = (int(score_h[bi]), int(jj_h[bi]))
-            if got != (want[0], want[2]):
-                raise RuntimeError(
-                    f"resident-path first-batch check FAILED (lane {bi}: "
-                    f"{got} != oracle {(want[0], want[2])}): suspected "
-                    "miscompile — retry in a fresh process or clear the "
-                    "JAX compilation cache"
-                )
-        verified[0] = True
-
-    def collect_group():
-        nonlocal done_cnt
-        batches = [pend.popleft() for _ in range(min(GROUP, len(pend)))]
-        fetched = jax.device_get([b[1] for b in batches])
-        w = csv.writer(ckpt_f) if ckpt_f is not None else None
-        rows = []
-        for (idxs, _), (score, jj) in zip(batches, fetched):
-            if idxs and isinstance(idxs[0], list):
-                # Resident GROUP entry: k sub-batches with (k, B) results.
-                rows.extend(
-                    (sub, score[g], jj[g]) for g, sub in enumerate(idxs)
-                )
-            else:
-                rows.append((idxs, score, jj))
-        for idxs, score, jj in rows:
-            if not verified[0]:
-                _verify_resident(idxs, score, jj)
-            for bi, k in enumerate(idxs):
-                results[k] = (int(score[bi]), int(jj[bi]))
-            if w is not None:
-                for k in idxs:
-                    w.writerow([entries[k][0], results[k][0], results[k][1]])
-            first = done_cnt == 0
-            done_cnt += len(idxs)
-            if first or done_cnt % (B * 8) == 0 or done_cnt == len(order):
-                print(f"progress: {done_cnt}/{len(order)}")
-        if ckpt_f is not None:
-            ckpt_f.flush()
 
     if resident and order:
         # Build the transposed per-batch slab AFTER resume filtering (the
@@ -342,102 +297,186 @@ def main(argv=None):
             f"{time.perf_counter() - t_up:.2f}s"
         )
 
-    t_start = time.perf_counter()
-    if resident and order:
-        for g0, k, N in groups:
-            score, ii, jj = score_db_slab_group_jit(
-                slab_dev, g0, row0_dev, lens_dev, pprof_dev,
-                k=k, N=N, worst=worst_i, best_sub=best_i, gap=gap_i,
-                gopen=gopen_i, interpret=engine.interpret,
-                ncodes=len(cfg.alphabet) + 1,
-            )
-            batches = [
-                order[(g0 + g) * B : (g0 + g + 1) * B] for g in range(k)
-            ]
-            pend.append((batches, (score, jj)))
-            cells += len(qb) * int(lens_mat[g0 : g0 + k].sum())
-            if len(pend) > DEPTH:
-                collect_group()
-    if not resident:
-        for s in range(0, len(order), B):
-            idxs = order[s : s + B]
-            seqs = [to_bytes(entries[k][1]) for k in idxs]
-            n = np.array([len(v) for v in seqs], np.int32)
-            N = _round_up(int(n.max()), args.pad_mult)
-            ys = batch_pad(seqs, N, Y_PAD)
-            xs = np.broadcast_to(qb[None, :], (len(idxs), len(qb))).copy()
-            m = np.full(len(idxs), len(qb), np.int32)
+    # ------------------------------------------------------------------
+    # Per-query scan loop: the resident slab (and all batch geometry) is
+    # shared; each query contributes only its packed profile. Single-query
+    # runs behave exactly as before.
+    # ------------------------------------------------------------------
+    grand_cells, grand_t = 0, 0.0
+    for qi, (qname, qpro) in enumerate(queries):
+        query = qpro
+        qb = to_bytes(qpro)
+        out_path = args.output if not multi_q else f"{args.output}.{qname}"
+        if qi > 0:
+            results = [None] * len(entries)
+            pprof_dev = build_pprof(qb)
+            print(f"query {qi + 1}/{len(queries)}: {qname} ({len(qb)}aa)")
+        # Pipelined scoring: up to DEPTH batches stay dispatched ahead of the
+        # oldest blocking fetch, so device compute overlaps the host round trips
+        # (and the checkpoint writes) of earlier batches. The resident path runs
+        # a deeper pipeline and fetches GROUP batches per device_get (results
+        # are a few KB each; one blocking fetch costs a full tunnel RTT).
+        import jax
+        from collections import deque
+
+        DEPTH = 24 if resident else 3
+        GROUP = 8 if resident else 1
+        cells = 0
+        done_cnt = 0
+        pend = deque()
+        verified = [not resident or engine.interpret]
+
+        def _verify_resident(idxs, score_h, jj_h):
+            """First-batch miscompile gate for the resident path (mirrors
+            PallasEngine._verify_first; that gate lives in score_batch, which
+            this path bypasses)."""
+            from ..ops.oracle import sw_affine_score_fast, sw_score_fast
+
+            fast = sw_affine_score_fast if cfg.is_affine else sw_score_fast
+            for bi in {0, len(idxs) - 1}:
+                want = fast(qb, to_bytes(entries[idxs[bi]][1]), cfg)
+                got = (int(score_h[bi]), int(jj_h[bi]))
+                if got != (want[0], want[2]):
+                    raise RuntimeError(
+                        f"resident-path first-batch check FAILED (lane {bi}: "
+                        f"{got} != oracle {(want[0], want[2])}): suspected "
+                        "miscompile — retry in a fresh process or clear the "
+                        "JAX compilation cache"
+                    )
+            verified[0] = True
+
+        def collect_group():
+            nonlocal done_cnt
+            batches = [pend.popleft() for _ in range(min(GROUP, len(pend)))]
+            fetched = jax.device_get([b[1] for b in batches])
+            w = csv.writer(ckpt_f) if ckpt_f is not None else None
+            rows = []
+            for (idxs, _), (score, jj) in zip(batches, fetched):
+                if idxs and isinstance(idxs[0], list):
+                    # Resident GROUP entry: k sub-batches with (k, B) results.
+                    rows.extend(
+                        (sub, score[g], jj[g]) for g, sub in enumerate(idxs)
+                    )
+                else:
+                    rows.append((idxs, score, jj))
+            for idxs, score, jj in rows:
+                if not verified[0]:
+                    _verify_resident(idxs, score, jj)
+                for bi, k in enumerate(idxs):
+                    results[k] = (int(score[bi]), int(jj[bi]))
+                if w is not None:
+                    for k in idxs:
+                        w.writerow([entries[k][0], results[k][0], results[k][1]])
+                first = done_cnt == 0
+                done_cnt += len(idxs)
+                if first or done_cnt % (B * 8) == 0 or done_cnt == len(order):
+                    print(f"progress: {done_cnt}/{len(order)}")
+            if ckpt_f is not None:
+                ckpt_f.flush()
+
+        t_start = time.perf_counter()
+        if resident and order:
+            for g0, k, N in groups:
+                score, ii, jj = score_db_slab_group_jit(
+                    slab_dev, g0, row0_dev, lens_dev, pprof_dev,
+                    k=k, N=N, worst=worst_i, best_sub=best_i, gap=gap_i,
+                    gopen=gopen_i, interpret=engine.interpret,
+                    ncodes=len(cfg.alphabet) + 1,
+                )
+                batches = [
+                    order[(g0 + g) * B : (g0 + g + 1) * B] for g in range(k)
+                ]
+                pend.append((batches, (score, jj)))
+                cells += len(qb) * int(lens_mat[g0 : g0 + k].sum())
+                if len(pend) > DEPTH:
+                    collect_group()
+        if not resident:
+            for s in range(0, len(order), B):
+                idxs = order[s : s + B]
+                seqs = [to_bytes(entries[k][1]) for k in idxs]
+                n = np.array([len(v) for v in seqs], np.int32)
+                N = _round_up(int(n.max()), args.pad_mult)
+                ys = batch_pad(seqs, N, Y_PAD)
+                xs = np.broadcast_to(qb[None, :], (len(idxs), len(qb))).copy()
+                m = np.full(len(idxs), len(qb), np.int32)
+                try:
+                    res = engine.score_batch(xs, ys, m, n)
+                except EnvelopeError:
+                    # Shapes outside the Pallas kernels' envelope fall back to
+                    # the scan wavefront permanently for this run.
+                    from ..ops.scan_dp import ScanEngine
+
+                    engine = ScanEngine(cfg)
+                    res = engine.score_batch(xs, ys, m, n)
+                pend.append((idxs, (res["score"], res["j"])))
+                cells += len(qb) * int(n.sum())
+                if len(pend) > DEPTH:
+                    collect_group()
+        while pend:
+            collect_group()
+        t_total = time.perf_counter() - t_start if order else 0.0
+
+        # Winner traceback (the reference's writer emits the TRACEBACK pos for
+        # every row — `read,pos_pred,score` with pos_pred = getPos() on
+        # x=entry/y=query): re-run the top-K hits through the full aligner with
+        # traceback in those exact roles, so pos_pred is the 1-based position
+        # in the QUERY where the greedy walk stops, bit-matching the probe
+        # built on the reference's own sources (benchmarks/compare_reference.py
+        # --mode uniprot, 64/64).
+        tb_top = args.top if args.traceback_top < 0 else args.traceback_top
+        tb_rows = {}
+        ranked = sorted(range(len(entries)), key=lambda k: -results[k][0])
+        if tb_top > 0 and entries:
+            from ..models.swaligner import BatchSWAligner
+
+            top_idx = ranked[:tb_top]
             try:
-                res = engine.score_batch(xs, ys, m, n)
-            except EnvelopeError:
-                # Shapes outside the Pallas kernels' envelope fall back to
-                # the scan wavefront permanently for this run.
-                from ..ops.scan_dp import ScanEngine
+                bat = BatchSWAligner(cfg)
+                res_tb = bat.align_batch(
+                    [entries[k][1] for k in top_idx],
+                    [query] * len(top_idx),
+                    traceback=True,
+                )
+                for k, r in zip(top_idx, res_tb):
+                    if int(r.score) != results[k][0]:
+                        raise RuntimeError(
+                            f"traceback rescore mismatch on {entries[k][0]}: "
+                            f"{int(r.score)} != {results[k][0]}"
+                        )
+                    tb_rows[k] = (r.pos, r.consensus_x, r.consensus_y)
+            except ValueError as e:
+                # e.g. a titin-class winner whose move tensor cannot fit; keep
+                # the score-only rows rather than failing the whole run.
+                print(f"traceback-top skipped: {e}")
 
-                engine = ScanEngine(cfg)
-                res = engine.score_batch(xs, ys, m, n)
-            pend.append((idxs, (res["score"], res["j"])))
-            cells += len(qb) * int(n.sum())
-            if len(pend) > DEPTH:
-                collect_group()
-    while pend:
-        collect_group()
-    t_total = time.perf_counter() - t_start if order else 0.0
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        with open(out_path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["name", "len", "score", "pos_end", "pos_pred", "consensus_x", "consensus_y"])
+            for k, ((name, seq), (score, pos)) in enumerate(zip(entries, results)):
+                pp, cx, cy = tb_rows.get(k, ("", "", ""))
+                w.writerow([name, len(seq), score, pos, pp, cx, cy])
 
+        # t_total == 0 when --resume restored every protein (nothing scored).
+        gcups = cells / t_total / 1e9 if t_total else 0.0
+        grand_cells += cells
+        grand_t += t_total
+        print(f"Scored {cells/1e9:.3f} Gcells in {t_total:.3f}s: {gcups:.2f} GCUPS"
+              + (f" [{qname}]" if multi_q else ""))
+        top = ranked[: args.top]
+        print("top hits:")
+        for k in top:
+            name, seq = entries[k]
+            extra = f"  pos_pred={tb_rows[k][0]}" if k in tb_rows else ""
+            print(f"  {name}  len={len(seq)}  score={results[k][0]}  pos_end={results[k][1]}{extra}")
+        print(f"Done, output file see: {out_path}")
     if ckpt_f is not None:
         ckpt_f.close()
 
-    # Winner traceback (the reference's writer emits the TRACEBACK pos for
-    # every row — `read,pos_pred,score` with pos_pred = getPos() on
-    # x=entry/y=query): re-run the top-K hits through the full aligner with
-    # traceback in those exact roles, so pos_pred is the 1-based position
-    # in the QUERY where the greedy walk stops, bit-matching the probe
-    # built on the reference's own sources (benchmarks/compare_reference.py
-    # --mode uniprot, 64/64).
-    tb_top = args.top if args.traceback_top < 0 else args.traceback_top
-    tb_rows = {}
-    ranked = sorted(range(len(entries)), key=lambda k: -results[k][0])
-    if tb_top > 0 and entries:
-        from ..models.swaligner import BatchSWAligner
-
-        top_idx = ranked[:tb_top]
-        try:
-            bat = BatchSWAligner(cfg)
-            res_tb = bat.align_batch(
-                [entries[k][1] for k in top_idx],
-                [query] * len(top_idx),
-                traceback=True,
-            )
-            for k, r in zip(top_idx, res_tb):
-                if int(r.score) != results[k][0]:
-                    raise RuntimeError(
-                        f"traceback rescore mismatch on {entries[k][0]}: "
-                        f"{int(r.score)} != {results[k][0]}"
-                    )
-                tb_rows[k] = (r.pos, r.consensus_x, r.consensus_y)
-        except ValueError as e:
-            # e.g. a titin-class winner whose move tensor cannot fit; keep
-            # the score-only rows rather than failing the whole run.
-            print(f"traceback-top skipped: {e}")
-
-    os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
-    with open(args.output, "w", newline="") as f:
-        w = csv.writer(f)
-        w.writerow(["name", "len", "score", "pos_end", "pos_pred", "consensus_x", "consensus_y"])
-        for k, ((name, seq), (score, pos)) in enumerate(zip(entries, results)):
-            pp, cx, cy = tb_rows.get(k, ("", "", ""))
-            w.writerow([name, len(seq), score, pos, pp, cx, cy])
-
-    # t_total == 0 when --resume restored every protein (nothing scored).
-    gcups = cells / t_total / 1e9 if t_total else 0.0
-    print(f"Scored {cells/1e9:.3f} Gcells in {t_total:.3f}s: {gcups:.2f} GCUPS")
-    top = ranked[: args.top]
-    print("top hits:")
-    for k in top:
-        name, seq = entries[k]
-        extra = f"  pos_pred={tb_rows[k][0]}" if k in tb_rows else ""
-        print(f"  {name}  len={len(seq)}  score={results[k][0]}  pos_end={results[k][1]}{extra}")
-    print(f"Done, output file see: {args.output}")
+    if multi_q and grand_t:
+        print(f"All queries: {grand_cells/1e9:.3f} Gcells in "
+              f"{grand_t:.3f}s: {grand_cells/grand_t/1e9:.2f} GCUPS "
+              f"({len(queries)} queries, one shared resident DB)")
     return 0
 
 

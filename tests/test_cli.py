@@ -280,3 +280,46 @@ def test_solve_uniprot_resident_resume(tmp_path, rng, capsys):
     assert "resume: 5 proteins restored" in captured
     assert "resident DB:" in captured
     assert out.read_text() == full
+
+
+def test_solve_uniprot_multi_query(tmp_path, rng, capsys):
+    """--query a.fasta,b.fasta scans BOTH queries against one shared
+    resident slab (the DB pack/upload is query-independent); each query's
+    output must be byte-identical to its own single-query run."""
+    from parallel_genomeseq_tpu.cli.solve_uniprot import main
+
+    alpha = list("ARNDCQEGHILKMFPSTWYV")
+    qfs = []
+    for qn, ln in (("qa", 30), ("qb", 45)):
+        qf = tmp_path / f"{qn}.fasta"
+        qf.write_text(f">{qn}\n" + "".join(rng.choice(alpha, ln)) + "\n")
+        qfs.append(qf)
+    db = tmp_path / "db.fasta"
+    with open(db, "w") as f:
+        for k in range(9):
+            f.write(f">p{k}\n" + "".join(rng.choice(alpha, 60 + 9 * k)) + "\n")
+    common_args = [
+        "--platform", "cpu", "--engine", "pallas", "--database", str(db),
+        "--batch-size", "4", "--pad-mult", "64",
+    ]
+    singles = {}
+    for qf in qfs:
+        out = tmp_path / f"single_{qf.stem}.csv"
+        assert main(common_args + ["--query", str(qf),
+                                   "--output", str(out)]) == 0
+        singles[qf.stem] = out.read_text()
+    multi_out = tmp_path / "multi.csv"
+    assert main(common_args + [
+        "--query", f"{qfs[0]},{qfs[1]}", "--output", str(multi_out)]) == 0
+    captured = capsys.readouterr().out
+    assert "2 queries" in captured
+    assert "one shared resident DB" in captured
+    for qn in ("qa", "qb"):
+        assert (tmp_path / f"multi.csv.{qn}").read_text() == singles[qn]
+
+    # Checkpoint/resume are single-query-only (rows are name-keyed).
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(common_args + ["--query", f"{qfs[0]},{qfs[1]}",
+                            "--output", str(multi_out), "--resume"])
