@@ -82,7 +82,7 @@ class AlignServer:
     """Holds warmed aligners + the preloaded reference; handles requests."""
 
     def __init__(self, cfg, chunk_cfg, ref: str, batch_size: int = 128,
-                 warm_read_len: int = 0):
+                 warm_read_len: int = 0, protein_db=None):
         from ..models.swaligner import BatchSWAligner
         from ..parallel.chunking import ChunkedAligner
 
@@ -96,6 +96,11 @@ class AlignServer:
             ChunkedAligner(cfg=cfg, chunk=chunk_cfg)
             if chunk_cfg.npiece > 1 else None
         )
+        # Optional resident protein database (models.protein_db): the slab
+        # uploads once at startup and every `scan_db` request reuses it —
+        # the serving shape of the UNIPROT workload (scan CLAUDE.md: ~1 s
+        # per 144-aa query against 561k entries on one chip, warm).
+        self.protein_db = protein_db
         if warm_read_len and ref:
             self.warmup(warm_read_len)
 
@@ -178,9 +183,36 @@ class AlignServer:
                 "reads_served": self.reads_served,
                 "ref_len": len(self.ref),
                 "batch_size": self.batch_size,
+                "protein_db_entries": (
+                    len(self.protein_db.entries) if self.protein_db else 0
+                ),
             }
         if op == "align":
             return self._align(req)
+        if op == "scan_db":
+            if self.protein_db is None:
+                return {"ok": False, "error": "server started without "
+                        "--protein-db"}
+            q = req.get("query")
+            if not isinstance(q, str) or not q:
+                return {"ok": False, "error": "query must be a non-empty "
+                        "protein string"}
+            try:
+                hits, wall, gcups = self.protein_db.scan(
+                    q, top=int(req.get("top", 10))
+                )
+            except ValueError as e:
+                return {"ok": False, "error": str(e)}
+            return {
+                "ok": True,
+                "wall_s": round(wall, 6),
+                "gcups": round(gcups, 2),
+                "n_entries": len(self.protein_db.entries),
+                "hits": [
+                    {"name": n, "len": l, "score": sc, "pos_end": pe}
+                    for n, l, sc, pe in hits
+                ],
+            }
         if op == "shutdown":
             return {"ok": True, "_shutdown": True}
         return {"ok": False, "error": f"unknown op {op!r}"}
@@ -239,11 +271,34 @@ def main(argv=None):
         help="pre-warm compiled programs for this read length (0 = skip)",
     )
     p.add_argument(
-        "--client", choices=["ping", "align", "shutdown"], default=None,
+        "--client", choices=["ping", "align", "scan_db", "shutdown"],
+        default=None,
         help="act as a client against a running server instead",
     )
     p.add_argument("--reads-file", default="", help="client align: one read per line")
     p.add_argument("--output", default="", help="client align: CSV output path")
+    p.add_argument(
+        "--protein-db", default="",
+        help="FASTA protein database to load device-resident at startup; "
+        "enables the scan_db op (BLOSUM affine scoring per --matrix / "
+        "--gap-open / --gap-penalty; one ~1 s scan per query at SwissProt "
+        "scale once warm)",
+    )
+    p.add_argument("--db-matrix", default="blosum50",
+                   choices=["blosum50", "blosum62"])
+    p.add_argument("--db-gap-open", type=float, default=10.0)
+    p.add_argument("--db-gap-extend", type=float, default=2.0)
+    p.add_argument("--db-batch-size", type=int, default=8192)
+    p.add_argument("--db-pad-mult", type=int, default=512)
+    p.add_argument(
+        "--db-warm-len", type=int, default=144,
+        help="pre-warm the scan programs with a dummy query of this length "
+        "(compiled shapes depend on the query length rounded to 8; the "
+        "first scan at an unwarmed length pays the per-process program "
+        "loads — measured 8.2 s vs 0.75 s steady on the remote-tunnel rig)",
+    )
+    p.add_argument("--query", default="", help="client scan_db: query "
+                   "protein string or FASTA path")
     common.add_scoring_flags(p)
     common.add_chunk_flags(p, npiece_default=1)
     common.add_platform_flags(p)
@@ -275,6 +330,15 @@ def main(argv=None):
                 f"({len(rows)/max(rep['wall_s'],1e-9):.0f} reads/s)"
             )
             return 0
+        if args.client == "scan_db":
+            q = args.query
+            if q and ("/" in q or q.endswith(".fasta")):
+                from ..seqio.native_io import read_fasta
+
+                q = read_fasta(q)
+            rep = request(args.socket, {"op": "scan_db", "query": q})
+            print(json.dumps(rep))
+            return 0 if rep.get("ok") else 1
         rep = request(args.socket, {"op": args.client})
         print(json.dumps(rep))
         return 0 if rep.get("ok") else 1
@@ -285,12 +349,35 @@ def main(argv=None):
         from ..seqio.native_io import read_fasta
 
         ref = read_fasta(args.ref)
+    protein_db = None
+    if args.protein_db:
+        from ..models.protein_db import ResidentProteinDB
+        from ..seqio.uniprot import iter_database
+
+        t0 = time.time()
+        protein_db = ResidentProteinDB(
+            list(iter_database(args.protein_db)), matrix=args.db_matrix,
+            gap_penalty=args.db_gap_extend, gap_open=args.db_gap_open,
+            batch_size=args.db_batch_size, pad_mult=args.db_pad_mult,
+        )
+        # Warm scan: pays the per-shape program loads before clients
+        # (shapes key on the query length rounded to 8 — warm with the
+        # expected length).
+        warm_q = ("ACDEFGHIKLMNPQRSTVWY" * 40)[: max(args.db_warm_len, 8)]
+        hits, wall, _ = protein_db.scan(warm_q, top=1)
+        print(
+            f"serve: protein DB resident ({len(protein_db.entries)} "
+            f"entries, {protein_db.slab_mb:.0f} MB slab, prep "
+            f"{protein_db.prep_s:.1f}s, warm scan {wall:.2f}s, total "
+            f"{time.time() - t0:.1f}s)", flush=True,
+        )
     server = AlignServer(
         cfg=common.scoring_from_args(args),
         chunk_cfg=common.chunk_from_args(args),
         ref=ref,
         batch_size=args.batch_size,
         warm_read_len=args.warm_read_len if ref else 0,
+        protein_db=protein_db,
     )
     serve_forever(server, args.socket)
     return 0

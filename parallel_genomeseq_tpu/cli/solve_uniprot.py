@@ -219,73 +219,18 @@ def main(argv=None):
         # device-resident too, so each dispatch ships nothing over the
         # host link (a per-call numpy arg upload costs ~2 tunnel RTTs —
         # 137 batches x ~56 ms dominated an early warm-run at 9.0 s).
+        from ..models.protein_db import pack_slab
         from ..ops.wavefront_pallas import UNROLL
 
         t_up = time.perf_counter()
-        Bp = _round_up(B, LANE)
-        nb = (len(order) + B - 1) // B
         seqs = [to_bytes(e[1]) for e in entries]
-        all_lens = np.array([len(sq) for sq in seqs], np.int32)
-        all_offs = np.zeros(max(len(seqs), 1), np.int64)
-        if len(seqs) > 1:
-            np.cumsum(all_lens[:-1], out=all_offs[1:])
-        flat = np.concatenate(seqs) if seqs else np.zeros(1, np.uint8)
-        # Encode ONCE on the flat array (compact y codes) — keeps the
-        # per-byte encode gather OFF the device hot path. uint8 fancy
-        # indexing avoids an 800 MB astype intermediate (6.2s -> 0.6s).
-        flat = elut_np[flat]
-        lens_mat = np.zeros((nb, Bp), np.int32)
-        offs_mat = np.zeros((nb, Bp), np.int64)
-        Ns = np.zeros(nb, np.int32)
-        row0s = np.zeros(nb, np.int32)
-        r = 0
-        for bi in range(nb):
-            idxs = order[bi * B : (bi + 1) * B]
-            lens_mat[bi, : len(idxs)] = all_lens[idxs]
-            offs_mat[bi, : len(idxs)] = all_offs[idxs]
-            row0s[bi] = r
-            Ns[bi] = _round_up(max(int(lens_mat[bi].max()), 1), args.pad_mult)
-            r += int(Ns[bi])
-        N_max = int(Ns.max()) if nb else 0
-        # Overrun guard: window rows may read up to N_max past an entry's
-        # end; padding flat removes the per-element clip pass below.
-        flat = np.concatenate([flat, np.zeros(N_max + 1, np.uint8)])
-        t_all = np.arange(N_max, dtype=np.int64)[:, None]
-        slab = np.zeros((r + Mq + 3 * UNROLL, Bp), np.uint8)  # 0 = pad code
-        for bi in range(nb):
-            # Vectorized window gather on HOST numpy (the same gather that
-            # is slow as an XLA device op is a fast C loop here): one fancy
-            # index per batch instead of B python slice-assignments. Rows
-            # past an entry's true length carry neighboring-entry garbage;
-            # score_db_slab_jit masks every row >= len on device, so no
-            # host-side mask pass is needed.
-            Nb = int(Ns[bi])
-            np.take(
-                flat,
-                offs_mat[bi][None, :] + t_all[:Nb],
-                out=slab[int(row0s[bi]) : int(row0s[bi]) + Nb],
-            )
+        slab, lens_mat, row0s, Ns, groups, nb = pack_slab(
+            seqs, order, B, args.pad_mult, elut_np,
+            tail_rows=Mq + 3 * UNROLL,
+        )
         slab_dev = jax.device_put(slab)
         lens_dev = jax.device_put(lens_mat)
         row0_dev = jax.device_put(row0s)
-        # Group contiguous same-N batch runs (lengths are sorted, so equal
-        # padded-N batches are adjacent) into scan dispatches of up to
-        # GK batches: one dispatch + one result fetch per group instead of
-        # per batch (~12 ms host/tunnel overhead per dispatch measured on
-        # this rig), with executables keyed by the few (N, k) shapes.
-        GK = 8
-        groups = []  # (g0, k, N)
-        g0 = 0
-        while g0 < nb:
-            k = 1
-            while (
-                g0 + k < nb
-                and Ns[g0 + k] == Ns[g0]
-                and k < GK
-            ):
-                k += 1
-            groups.append((g0, k, int(Ns[g0])))
-            g0 += k
         slab_dev.block_until_ready()
         # DB prep (pack + upload) is reported separately and excluded from
         # the scored GCUPS — the reference's own methodology excludes IO

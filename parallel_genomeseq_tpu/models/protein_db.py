@@ -1,0 +1,221 @@
+"""Device-resident protein database: pack once, scan many queries.
+
+The TPU-native shape of the reference's UNIPROT workload
+(src/mpi_sw_solve_uniprot.cpp:65-138): instead of per-rank FASTA file loops
+re-read for every query, the whole database is length-bucketed, packed
+host-side into transposed per-batch blocks of compact y codes, and uploaded
+ONCE. Each scan then contributes only the query's packed profile; batches
+dispatch as same-shape lax.scan groups (one program call + one result fetch
+per group) and the full 561k-entry SwissProt-scale DB scores in ~1 s per
+query on one v5e chip (see CLAUDE.md round-4 measurements).
+
+Used by cli/solve_uniprot.py (one-shot CLI, adds checkpoint/resume around
+the same layout) and cli/serve.py (long-lived server: `scan_db` requests).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from ..ops.substitution import blosum_config
+from ..utils.encoding import to_bytes
+
+
+def _round_up(v, mult):
+    return ((v + mult - 1) // mult) * mult
+
+
+GK = 8  # max batches per scan-group dispatch
+
+
+def pack_slab(seqs: Sequence[np.ndarray], order: Sequence[int], B: int,
+              pad_mult: int, elut_np: np.ndarray, tail_rows: int):
+    """Host-side slab pack shared by the CLI driver and the server.
+
+    seqs: per-entry uint8 byte arrays. order: entry indices in scan order
+    (length-sorted; resume-filtered by the CLI). B: batch size (rounded up
+    to LANE internally by the caller's Bp). Returns (slab uint8 (R, Bp),
+    lens_mat (nb, Bp) int32, row0s (nb,) int32, Ns (nb,) int32,
+    groups [(g0, k, N)], nb). The slab holds COMPACT y codes (elut applied
+    once on the flat concat — uint8 fancy indexing, no astype
+    intermediate); rows past an entry's true length carry neighboring
+    garbage that the device-side length mask turns into pad code 0.
+    """
+    from ..ops.wavefront_pallas import LANE
+
+    Bp = _round_up(max(B, 1), LANE)
+    nb = (len(order) + B - 1) // B
+    all_lens = np.array([len(sq) for sq in seqs], np.int32)
+    all_offs = np.zeros(max(len(seqs), 1), np.int64)
+    if len(seqs) > 1:
+        np.cumsum(all_lens[:-1], out=all_offs[1:])
+    flat = np.concatenate(seqs) if seqs else np.zeros(1, np.uint8)
+    flat = elut_np[flat]
+    lens_mat = np.zeros((nb, Bp), np.int32)
+    offs_mat = np.zeros((nb, Bp), np.int64)
+    Ns = np.zeros(nb, np.int32)
+    row0s = np.zeros(nb, np.int32)
+    r = 0
+    for bi in range(nb):
+        idxs = order[bi * B : (bi + 1) * B]
+        lens_mat[bi, : len(idxs)] = all_lens[idxs]
+        offs_mat[bi, : len(idxs)] = all_offs[idxs]
+        row0s[bi] = r
+        Ns[bi] = _round_up(max(int(lens_mat[bi].max()), 1), pad_mult)
+        r += int(Ns[bi])
+    N_max = int(Ns.max()) if nb else 0
+    # Overrun guard: window rows may read up to N_max past an entry's end.
+    flat = np.concatenate([flat, np.zeros(N_max + 1, np.uint8)])
+    t_all = np.arange(N_max, dtype=np.int64)[:, None]
+    slab = np.zeros((r + tail_rows, Bp), np.uint8)  # 0 = pad code
+    for bi in range(nb):
+        Nb = int(Ns[bi])
+        np.take(
+            flat,
+            offs_mat[bi][None, :] + t_all[:Nb],
+            out=slab[int(row0s[bi]) : int(row0s[bi]) + Nb],
+        )
+    groups = []
+    g0 = 0
+    while g0 < nb:
+        k = 1
+        while g0 + k < nb and Ns[g0 + k] == Ns[g0] and k < GK:
+            k += 1
+        groups.append((g0, k, int(Ns[g0])))
+        g0 += k
+    return slab, lens_mat, row0s, Ns, groups, nb
+
+
+class ResidentProteinDB:
+    """One resident database, many query scans.
+
+    Entries are (name, sequence) pairs; scans return top-K hits with the
+    DP score and pos_end (1-based entry index of the DP maximum — the
+    fast-path columns of the reference writer's schema). The first scan in
+    a process verifies two lanes against the numpy oracle (the per-process
+    miscompile gate every engine path on this rig carries).
+    """
+
+    def __init__(self, entries: List[Tuple[str, str]], matrix="blosum50",
+                 gap_penalty=2.0, gap_open=10.0, batch_size=8192,
+                 pad_mult=512, max_query_len=None):
+        import jax
+
+        from ..ops.wavefront_pallas import (
+            LANE,
+            MAX_M,
+            UNROLL,
+            PallasEngine,
+        )
+
+        self.cfg = blosum_config(
+            matrix, gap_penalty=gap_penalty, gap_open=gap_open
+        )
+        self.engine = PallasEngine(self.cfg)
+        self.entries = entries
+        self.B = batch_size
+        self.max_query_len = min(max_query_len or MAX_M, MAX_M)
+        self._Mq = _round_up(self.max_query_len, 8)
+        plut, elut = self.engine._lut()
+        self._plut_np = np.asarray(plut)
+        elut_np = np.asarray(elut)
+        self._seqs = [to_bytes(e[1]) for e in entries]
+        self.order = sorted(
+            range(len(entries)), key=lambda k: len(self._seqs[k])
+        )
+        t0 = time.perf_counter()
+        slab, lens_mat, row0s, Ns, groups, nb = pack_slab(
+            self._seqs, self.order, batch_size, pad_mult, elut_np,
+            tail_rows=self._Mq + 3 * UNROLL,
+        )
+        self._lens_mat = lens_mat
+        self._Ns = Ns
+        self.groups = groups
+        self._slab_dev = jax.device_put(slab)
+        self._lens_dev = jax.device_put(lens_mat)
+        self._row0_dev = jax.device_put(row0s)
+        self._slab_dev.block_until_ready()
+        self.prep_s = time.perf_counter() - t0
+        self.slab_mb = slab.nbytes / 1e6
+        Smat = np.asarray(self.cfg.matrix).astype(np.int32)
+        self._worst, self._best = int(Smat.min()), int(Smat.max())
+        self._verified = bool(self.engine.interpret)
+        self.scans_served = 0
+
+    def scan_scores(self, query: str):
+        """Score every entry: returns (scores, pos_end) int32 arrays in
+        ENTRY order, plus the scan wall time."""
+        import jax
+
+        from ..ops.wavefront_pallas import (
+            LANE,
+            score_db_slab_group_jit,
+        )
+
+        qb = to_bytes(query)
+        if len(qb) > self.max_query_len:
+            raise ValueError(
+                f"query {len(qb)}aa exceeds this DB's max_query_len "
+                f"{self.max_query_len}"
+            )
+        Mq = _round_up(len(qb), 8)
+        qcol = np.full(Mq, 1, np.uint8)  # X_PAD
+        qcol[: len(qb)] = qb
+        pprof = jax.device_put(np.ascontiguousarray(np.broadcast_to(
+            self._plut_np[qcol.astype(np.int32)].T[:, :, None],
+            (self._plut_np.shape[1], Mq, LANE),
+        )))
+        t0 = time.perf_counter()
+        outs = []
+        for g0, k, N in self.groups:
+            outs.append(score_db_slab_group_jit(
+                self._slab_dev, g0, self._row0_dev, self._lens_dev, pprof,
+                k=k, N=N, worst=self._worst, best_sub=self._best,
+                gap=int(self.cfg.gap_penalty),
+                gopen=int(self.cfg.gap_open),
+                interpret=self.engine.interpret,
+                ncodes=len(self.cfg.alphabet) + 1,
+            ))
+        fetched = jax.device_get([(o[0], o[2]) for o in outs])
+        scores = np.zeros(len(self.entries), np.int32)
+        pos = np.zeros(len(self.entries), np.int32)
+        for (g0, k, _), (sc, jj) in zip(self.groups, fetched):
+            for g in range(k):
+                idxs = self.order[(g0 + g) * self.B : (g0 + g + 1) * self.B]
+                scores[idxs] = sc[g][: len(idxs)]
+                pos[idxs] = jj[g][: len(idxs)]
+        wall = time.perf_counter() - t0
+        if not self._verified and self.entries:
+            from ..ops.oracle import sw_affine_score_fast, sw_score_fast
+
+            fast = (sw_affine_score_fast if self.cfg.is_affine
+                    else sw_score_fast)
+            for k in (self.order[0], self.order[-1]):
+                want = fast(qb, self._seqs[k], self.cfg)
+                got = (int(scores[k]), int(pos[k]))
+                if got != (want[0], want[2]):
+                    raise RuntimeError(
+                        f"resident-DB first-scan check FAILED (entry {k}: "
+                        f"{got} != oracle {(want[0], want[2])}): suspected "
+                        "miscompile — restart the process or clear the JAX "
+                        "compilation cache"
+                    )
+            self._verified = True
+        self.scans_served += 1
+        return scores, pos, wall
+
+    def scan(self, query: str, top: int = 10):
+        """Top-K hits for one query: [(name, entry_len, score, pos_end)],
+        plus (wall_s, gcups)."""
+        scores, pos, wall = self.scan_scores(query)
+        cells = len(query) * sum(len(sq) for sq in self._seqs)
+        ranked = np.argsort(-scores, kind="stable")[: max(top, 0)]
+        hits = [
+            (self.entries[k][0], len(self._seqs[k]), int(scores[k]),
+             int(pos[k]))
+            for k in ranked
+        ]
+        return hits, wall, cells / wall / 1e9 if wall else 0.0

@@ -74,3 +74,58 @@ def test_serve_roundtrip(server, rng):
     rep = request(sock, {"op": "align", "reads": []})
     assert not rep["ok"]
     assert request(sock, {"op": "ping"})["ok"]
+
+
+def test_serve_protein_db_scan(tmp_path, rng):
+    """--protein-db loads a resident slab at startup; scan_db requests
+    return top-K hits matching the oracle's scores."""
+    from parallel_genomeseq_tpu.cli.serve import request, wait_ready
+
+    alpha = list("ARNDCQEGHILKMFPSTWYV")
+    db = tmp_path / "db.fasta"
+    seqs = ["".join(rng.choice(alpha, 60 + 13 * k)) for k in range(7)]
+    query = "".join(rng.choice(alpha, 35))
+    seqs[4] = seqs[4][:10] + query + seqs[4][10:]  # planted exact hit
+    with open(db, "w") as f:
+        for k, sq in enumerate(seqs):
+            f.write(f">p{k}\n{sq}\n")
+    sock = str(tmp_path / "pgs.sock")
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "parallel_genomeseq_tpu.cli.serve",
+            "--socket", sock, "--platform", "cpu", "--warm-read-len", "0",
+            "--protein-db", str(db), "--db-batch-size", "4",
+            "--db-pad-mult", "64",
+        ],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+    try:
+        wait_ready(sock, timeout=240.0)
+        rep = request(sock, {"op": "ping"})
+        assert rep["ok"] and rep["protein_db_entries"] == 7
+        rep = request(sock, {"op": "scan_db", "query": query, "top": 3})
+        assert rep["ok"], rep
+        assert rep["n_entries"] == 7 and len(rep["hits"]) == 3
+
+        from parallel_genomeseq_tpu.ops.oracle import sw_affine_score_fast
+        from parallel_genomeseq_tpu.ops.substitution import blosum_config
+
+        cfg = blosum_config("blosum50", gap_penalty=2.0, gap_open=10.0)
+        want = sorted(
+            (sw_affine_score_fast(query, sq, cfg)[0] for sq in seqs),
+            reverse=True,
+        )[:3]
+        assert [h["score"] for h in rep["hits"]] == want
+        assert rep["hits"][0]["name"] == "p4"  # the planted winner
+
+        # Errors surface without killing the server.
+        rep = request(sock, {"op": "scan_db", "query": ""})
+        assert not rep["ok"]
+        rep = request(sock, {"op": "ping"})
+        assert rep["ok"]
+        request(sock, {"op": "shutdown"})
+        proc.wait(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
