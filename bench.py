@@ -87,25 +87,30 @@ def time_batch(engine, B, repeats=8):
     return best, cells
 
 
-def kernel_estimate(engine, b_small=128, b_big=5120, repeats=10,
+def kernel_estimate(engine, b_small=128, b_big=5120, repeats=16,
                     builder=build_inputs):
-    """Median-of-pairs batch-differencing GCUPS.
+    """Min-timing batch-differencing GCUPS.
 
     Each invocation carries a fixed host<->device round trip (~28 ms through
     the remote tunnel; sub-ms on directly-attached hardware), so the kernel
-    rate is the marginal cost of the extra lanes. Small/big calls are
-    INTERLEAVED and each adjacent pair yields one estimate; the median is
-    robust to the few-ms RTT drift that sequential min-over-repeats phases
-    pick up (observed swinging a two-phase estimate by +-100 GCUPS).
-    Returns (kernel_gcups, e2e_gcups)."""
+    rate is the marginal cost of the extra lanes:
+    (c_big - c_small) / (min t_big - min t_small), small/big INTERLEAVED.
+    Tunnel noise is strictly ADDITIVE, so the min over repeats is the
+    noise-free observation and the difference of mins is drift-robust.
+    (Two earlier estimators failed here: round 2's sequential two-phase
+    min-over-repeats let the phases sample different RTT regimes, and the
+    round-4 median-of-adjacent-pairs + max-of-two-sessions variant SELECTED
+    drift-inflated sessions — one recorded run priced the 7-word linear
+    profile kernel at 320 GCUPS, physically impossible for that kernel.)
+    Returns (kernel_gcups, e2e_gcups, prep_big, cells_big)."""
     xs, ys, m, n, c_small = builder(b_small)
     prep_s = engine.prepare(xs, ys, m, n, device=True)
     xs, ys, m, n, c_big = builder(b_big)
     prep_b = engine.prepare(xs, ys, m, n, device=True)
     for p in (prep_s, prep_b):  # warm up (compile)
         np.asarray(engine.score_prepared(p)["score"])
+    t_s_best = t_b_best = float("inf")
     ests = []
-    t_big_best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         np.asarray(engine.score_prepared(prep_s)["score"])
@@ -113,13 +118,17 @@ def kernel_estimate(engine, b_small=128, b_big=5120, repeats=10,
         t0 = time.perf_counter()
         np.asarray(engine.score_prepared(prep_b)["score"])
         t_b = time.perf_counter() - t0
-        t_big_best = min(t_big_best, t_b)
+        t_s_best = min(t_s_best, t_s)
+        t_b_best = min(t_b_best, t_b)
         if t_b > t_s:
             ests.append((c_big - c_small) / (t_b - t_s))
-    if not ests:
+    if t_b_best > t_s_best:
+        kernel = (c_big - c_small) / (t_b_best - t_s_best) / 1e9
+    elif ests:  # pathological drift: fall back to the median of pairs
+        kernel = float(np.median(ests)) / 1e9
+    else:
         raise RuntimeError("batch differencing produced no valid estimates")
-    kernel = float(np.median(ests)) / 1e9
-    return kernel, c_big / t_big_best / 1e9, prep_b, c_big
+    return kernel, c_big / t_b_best / 1e9, prep_b, c_big
 
 
 def e2e_pipelined(engine, prep, cells, repeats=12):
@@ -232,12 +241,7 @@ def main():
             eng = PallasEngine()
             if not eng.interpret:
                 eng.self_check()
-            # Two sessions, keep the better (see the protein loop below for
-            # the observed whole-session drift-poisoning this filters).
             kernel_gcups, e2e_gcups, prep_b, c_big = kernel_estimate(eng)
-            k2, e2, prep_b, c_big = kernel_estimate(eng)
-            kernel_gcups = max(kernel_gcups, k2)
-            e2e_gcups = max(e2e_gcups, e2)
             e2e_pipe = e2e_pipelined(eng, prep_b, c_big)
             result = ("pallas", kernel_gcups, e2e_gcups, e2e_pipe)
             break
@@ -314,18 +318,9 @@ def main():
                     # same program shape the small batch reuses.
                     xs, ys, m, n, _ = build_protein_inputs(128)
                     eng.score_batch(xs, ys, m, n)
-                # Two estimator sessions, keep the better: tunnel-RTT drift
-                # can poison a WHOLE interleaved session despite the
-                # median-of-pairs (observed same-day: 26.6 then 76.1 GCUPS
-                # for the identical linear kernel); the max of two medians
-                # is the sustained rate a drift-free session measures.
-                k_gcups, e_gcups = 0.0, 0.0
-                for _ in range(2):
-                    k1, e1, _, _ = kernel_estimate(
-                        eng, builder=build_protein_inputs
-                    )
-                    k_gcups = max(k_gcups, k1)
-                    e_gcups = max(e_gcups, e1)
+                k_gcups, e_gcups, _, _ = kernel_estimate(
+                    eng, builder=build_protein_inputs
+                )
                 print(
                     f"# {metric}: kernel={k_gcups:.1f} GCUPS "
                     f"end2end(B=5120)={e_gcups:.1f} GCUPS",
