@@ -12,7 +12,9 @@ AVX2 kernel on an ETH Leonhard node (src/sw_solve_big.cpp:73; see
 BASELINE.md). For context, the same C++ kernel measured 7.9 GCUPS
 single-thread on this machine's host CPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per headline metric (DNA kernel, pipelined e2e,
+protein profile linear/affine, UNIPROT full-DB e2e), each
+{"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
