@@ -332,7 +332,7 @@ def main(argv=None):
             return 0
         if args.client == "scan_db":
             q = args.query
-            if q and ("/" in q or q.endswith(".fasta")):
+            if q and os.path.isfile(q):
                 from ..seqio.native_io import read_fasta
 
                 q = read_fasta(q)

@@ -162,10 +162,14 @@ def main(argv=None):
         score_db_slab_group_jit,
     )
 
+    # The resident gate must hold for EVERY query: the slab path runs the
+    # non-strip profile kernel, whose validated envelope is M <= MAX_M, and
+    # multi-query scans share the one slab (a later over-long query would
+    # otherwise be pushed through the kernel outside its envelope).
     resident = (
         isinstance(engine, PallasEngine)
         and args.matrix != "uniform"
-        and len(qb) <= MAX_M
+        and max(len(to_bytes(q)) for _, q in queries) <= MAX_M
     )
     if resident:
         import jax
@@ -254,7 +258,10 @@ def main(argv=None):
         out_path = args.output if not multi_q else f"{args.output}.{qname}"
         if qi > 0:
             results = [None] * len(entries)
-            pprof_dev = build_pprof(qb)
+            if resident:
+                # Only the resident slab path consumes the packed profile;
+                # the non-resident loop rebuilds xs per batch from qb.
+                pprof_dev = build_pprof(qb)
             print(f"query {qi + 1}/{len(queries)}: {qname} ({len(qb)}aa)")
         # Pipelined scoring: up to DEPTH batches stay dispatched ahead of the
         # oldest blocking fetch, so device compute overlaps the host round trips

@@ -323,3 +323,74 @@ def test_solve_uniprot_multi_query(tmp_path, rng, capsys):
     with pytest.raises(SystemExit):
         main(common_args + ["--query", f"{qfs[0]},{qfs[1]}",
                             "--output", str(multi_out), "--resume"])
+
+
+def test_solve_uniprot_multi_query_non_resident(tmp_path, rng, capsys):
+    """Multi-query must also work OFF the resident path (round-4 bug:
+    build_pprof was defined only under `if resident:` but called for every
+    query after the first — `--engine scan`, `--matrix uniform`, or a long
+    query all crashed with UnboundLocalError after query 1). Each query's
+    output must be byte-identical to its own single-query run."""
+    from parallel_genomeseq_tpu.cli.solve_uniprot import main
+
+    alpha = list("ARNDCQEGHILKMFPSTWYV")
+    qfs = []
+    for qn, ln in (("qa", 30), ("qb", 45)):
+        qf = tmp_path / f"{qn}.fasta"
+        qf.write_text(f">{qn}\n" + "".join(rng.choice(alpha, ln)) + "\n")
+        qfs.append(qf)
+    db = tmp_path / "db.fasta"
+    with open(db, "w") as f:
+        for k in range(9):
+            f.write(f">p{k}\n" + "".join(rng.choice(alpha, 60 + 9 * k)) + "\n")
+    for mode in (["--engine", "scan"], ["--matrix", "uniform"]):
+        common_args = [
+            "--platform", "cpu", "--database", str(db),
+            "--batch-size", "4", "--pad-mult", "64",
+        ] + mode
+        singles = {}
+        for qf in qfs:
+            out = tmp_path / f"nr_single_{qf.stem}.csv"
+            assert main(common_args + ["--query", str(qf),
+                                       "--output", str(out)]) == 0
+            singles[qf.stem] = out.read_text()
+        multi_out = tmp_path / "nr_multi.csv"
+        assert main(common_args + [
+            "--query", f"{qfs[0]},{qfs[1]}", "--output", str(multi_out)]) == 0
+        for qn in ("qa", "qb"):
+            assert (tmp_path / f"nr_multi.csv.{qn}").read_text() == singles[qn]
+    capsys.readouterr()
+
+
+def test_solve_uniprot_multi_query_long_query_gate(tmp_path, rng, capsys):
+    """A multi-query scan where a LATER query exceeds MAX_M must not be sent
+    through the resident non-strip kernel outside its envelope (round-4 bug:
+    the gate looked only at the first query). The whole run falls back to
+    the non-resident path and still completes with correct outputs."""
+    from parallel_genomeseq_tpu.cli.solve_uniprot import main
+    from parallel_genomeseq_tpu.ops.wavefront_pallas import MAX_M
+
+    alpha = list("ARNDCQEGHILKMFPSTWYV")
+    qa = tmp_path / "qa.fasta"
+    qa.write_text(">qa\n" + "".join(rng.choice(alpha, 24)) + "\n")
+    qlong = tmp_path / "qlong.fasta"
+    qlong.write_text(">qlong\n" + "".join(rng.choice(alpha, MAX_M + 8)) + "\n")
+    db = tmp_path / "db.fasta"
+    with open(db, "w") as f:
+        for k in range(3):
+            f.write(f">p{k}\n" + "".join(rng.choice(alpha, 40)) + "\n")
+    multi_out = tmp_path / "lg_multi.csv"
+    assert main([
+        "--platform", "cpu", "--engine", "pallas", "--database", str(db),
+        "--batch-size", "4", "--pad-mult", "64", "--top", "1",
+        "--query", f"{qa},{qlong}", "--output", str(multi_out)]) == 0
+    got = capsys.readouterr().out
+    assert "resident DB:" not in got  # gate held: non-resident path used
+    # Output of the short query still matches its single-query (scan) run.
+    out_a = tmp_path / "lg_single_a.csv"
+    assert main([
+        "--platform", "cpu", "--engine", "scan", "--database", str(db),
+        "--batch-size", "4", "--pad-mult", "64", "--top", "1",
+        "--query", str(qa), "--output", str(out_a)]) == 0
+    capsys.readouterr()
+    assert (tmp_path / "lg_multi.csv.qa").read_text() == out_a.read_text()
