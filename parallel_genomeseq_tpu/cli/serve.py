@@ -197,13 +197,46 @@ class AlignServer:
             if not isinstance(q, str) or not q:
                 return {"ok": False, "error": "query must be a non-empty "
                         "protein string"}
+            out_path = req.get("output") or ""
             try:
-                hits, wall, gcups = self.protein_db.scan(
-                    q, top=int(req.get("top", 10))
-                )
+                if out_path:
+                    # Whole-result serving: score EVERY entry and write the
+                    # full CSV server-side (the reference writer's all-rows
+                    # output, mpi_sw_solve_uniprot.cpp:151-186) — identical
+                    # rows/columns to solve_uniprot with traceback disabled,
+                    # so whole-result consumers can point at either.
+                    import csv as csv_mod
+
+                    import numpy as np
+
+                    db = self.protein_db
+                    scores, pos, wall = db.scan_scores(q)
+                    cells = len(q) * sum(len(s) for s in db._seqs)
+                    gcups = cells / wall / 1e9 if wall else 0.0
+                    ranked = np.argsort(
+                        -scores, kind="stable"
+                    )[: max(int(req.get("top", 10)), 0)]
+                    hits = [
+                        (db.entries[k][0], len(db._seqs[k]), int(scores[k]),
+                         int(pos[k]))
+                        for k in ranked
+                    ]
+                    os.makedirs(os.path.dirname(out_path) or ".",
+                                exist_ok=True)
+                    with open(out_path, "w", newline="") as f:
+                        w = csv_mod.writer(f)
+                        w.writerow(["name", "len", "score", "pos_end",
+                                    "pos_pred", "consensus_x", "consensus_y"])
+                        for k, (name, seq) in enumerate(db.entries):
+                            w.writerow([name, len(seq), int(scores[k]),
+                                        int(pos[k]), "", "", ""])
+                else:
+                    hits, wall, gcups = self.protein_db.scan(
+                        q, top=int(req.get("top", 10))
+                    )
             except ValueError as e:
                 return {"ok": False, "error": str(e)}
-            return {
+            reply = {
                 "ok": True,
                 "wall_s": round(wall, 6),
                 "gcups": round(gcups, 2),
@@ -213,6 +246,10 @@ class AlignServer:
                     for n, l, sc, pe in hits
                 ],
             }
+            if out_path:
+                reply["output"] = out_path
+                reply["n_rows"] = len(self.protein_db.entries)
+            return reply
         if op == "shutdown":
             return {"ok": True, "_shutdown": True}
         return {"ok": False, "error": f"unknown op {op!r}"}
@@ -336,7 +373,12 @@ def main(argv=None):
                 from ..seqio.native_io import read_fasta
 
                 q = read_fasta(q)
-            rep = request(args.socket, {"op": "scan_db", "query": q})
+            req_obj = {"op": "scan_db", "query": q}
+            if args.output:
+                # Whole-result mode: the server writes every row's CSV
+                # server-side (top-K still comes back inline).
+                req_obj["output"] = args.output
+            rep = request(args.socket, req_obj)
             print(json.dumps(rep))
             return 0 if rep.get("ok") else 1
         rep = request(args.socket, {"op": args.client})

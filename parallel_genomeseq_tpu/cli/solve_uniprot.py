@@ -71,6 +71,15 @@ def main(argv=None):
         "reports sequence_y, mpi_sw_solve_uniprot.cpp:120-138,151-186) "
         "plus the consensus strings; default = --top, 0 disables",
     )
+    p.add_argument(
+        "--traceback-all", action="store_true",
+        help="emit pos_pred/consensus for EVERY database row, not just the "
+        "top-K — the reference's workers run calculateScore() (which "
+        "includes traceback) on every entry and the writer emits that pos "
+        "for every row (mpi_sw_solve_uniprot.cpp:120-138,151-186). Entries "
+        "walk in pipelined length-sorted batches through the full aligner; "
+        "rows whose shape cannot fit a move tensor are left score-only",
+    )
     p.add_argument("--limit", type=int, default=0, help="only first N proteins (0 = all)")
     p.add_argument("--engine", default="auto", choices=["auto", "pallas", "scan"])
     p.add_argument(
@@ -378,28 +387,44 @@ def main(argv=None):
         tb_top = args.top if args.traceback_top < 0 else args.traceback_top
         tb_rows = {}
         ranked = sorted(range(len(entries)), key=lambda k: -results[k][0])
-        if tb_top > 0 and entries:
+        if args.traceback_all and entries:
+            # Length-sorted batches keep compiled shapes few; pad_m=128
+            # bounds shape count while keeping each batch's move tensor
+            # ((M+N) * M * B bytes) modest at SwissProt entry lengths.
+            tb_idx = sorted(range(len(entries)),
+                            key=lambda k: len(entries[k][1]))
+        elif tb_top > 0 and entries:
+            tb_idx = ranked[:tb_top]
+        else:
+            tb_idx = []
+        if tb_idx:
             from ..models.swaligner import BatchSWAligner
 
-            top_idx = ranked[:tb_top]
+            bat = BatchSWAligner(cfg, pad_m=128)
+            TB_B = min(B, 1024)
+
+            def tb_batches():
+                for s0 in range(0, len(tb_idx), TB_B):
+                    yield [entries[k][1] for k in tb_idx[s0 : s0 + TB_B]]
+
             try:
-                bat = BatchSWAligner(cfg)
-                res_tb = bat.align_batch(
-                    [entries[k][1] for k in top_idx],
-                    [query] * len(top_idx),
-                    traceback=True,
-                )
-                for k, r in zip(top_idx, res_tb):
-                    if int(r.score) != results[k][0]:
-                        raise RuntimeError(
-                            f"traceback rescore mismatch on {entries[k][0]}: "
-                            f"{int(r.score)} != {results[k][0]}"
-                        )
-                    tb_rows[k] = (r.pos, r.consensus_x, r.consensus_y)
+                s0 = 0
+                for res_tb in bat.align_stream(
+                    tb_batches(), [query], traceback=True
+                ):
+                    for k, r in zip(tb_idx[s0 : s0 + TB_B], res_tb):
+                        if int(r.score) != results[k][0]:
+                            raise RuntimeError(
+                                f"traceback rescore mismatch on "
+                                f"{entries[k][0]}: "
+                                f"{int(r.score)} != {results[k][0]}"
+                            )
+                        tb_rows[k] = (r.pos, r.consensus_x, r.consensus_y)
+                    s0 += TB_B
             except ValueError as e:
                 # e.g. a titin-class winner whose move tensor cannot fit; keep
                 # the score-only rows rather than failing the whole run.
-                print(f"traceback-top skipped: {e}")
+                print(f"traceback skipped: {e}")
 
         os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
         with open(out_path, "w", newline="") as f:

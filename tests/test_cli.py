@@ -394,3 +394,48 @@ def test_solve_uniprot_multi_query_long_query_gate(tmp_path, rng, capsys):
         "--query", str(qa), "--output", str(out_a)]) == 0
     capsys.readouterr()
     assert (tmp_path / "lg_multi.csv.qa").read_text() == out_a.read_text()
+
+
+def test_solve_uniprot_traceback_all(tmp_path, rng, capsys):
+    """--traceback-all must emit the reference writer's pos_pred/consensus
+    for EVERY row (the reference runs calculateScore() incl. traceback on
+    every entry, mpi_sw_solve_uniprot.cpp:120-138,151-186), each matching a
+    direct BatchSWAligner probe in the writer's x=entry/y=query roles."""
+    import csv as csv_mod
+
+    from parallel_genomeseq_tpu.cli.solve_uniprot import main
+    from parallel_genomeseq_tpu.models.swaligner import BatchSWAligner
+    from parallel_genomeseq_tpu.ops.substitution import blosum_config
+
+    alpha = list("ARNDCQEGHILKMFPSTWYV")
+    query = "".join(rng.choice(alpha, 40))
+    qf = tmp_path / "q.fasta"
+    qf.write_text(">q\n" + query + "\n")
+    db = tmp_path / "db.fasta"
+    names, seqs = [], []
+    with open(db, "w") as f:
+        for k in range(64):
+            ln = int(rng.integers(25, 90))
+            sq = "".join(rng.choice(alpha, ln))
+            names.append(f"p{k}")
+            seqs.append(sq)
+            f.write(f">p{k}\n{sq}\n")
+    out = tmp_path / "o.csv"
+    assert main([
+        "--platform", "cpu", "--query", str(qf), "--database", str(db),
+        "--output", str(out), "--batch-size", "16", "--pad-mult", "64",
+        "--traceback-all",
+    ]) == 0
+    capsys.readouterr()
+    rows = {r["name"]: r for r in csv_mod.DictReader(open(out))}
+    assert len(rows) == 64
+    cfg = blosum_config("blosum50", gap_penalty=12.0, gap_open=0.0)
+    bat = BatchSWAligner(cfg)
+    probe = bat.align_batch(seqs, [query] * len(seqs), traceback=True)
+    for name, sq, r in zip(names, seqs, probe):
+        row = rows[name]
+        assert row["pos_pred"] != "", name
+        assert int(row["pos_pred"]) == r.pos, name
+        assert row["consensus_x"] == r.consensus_x, name
+        assert row["consensus_y"] == r.consensus_y, name
+        assert int(row["score"]) == int(r.score), name

@@ -118,6 +118,29 @@ def test_serve_protein_db_scan(tmp_path, rng):
         assert [h["score"] for h in rep["hits"]] == want
         assert rep["hits"][0]["name"] == "p4"  # the planted winner
 
+        # Whole-result serving: "output" makes the server write EVERY row's
+        # CSV server-side (the reference writer's all-rows schema); the file
+        # must be byte-identical to a solve_uniprot run with the same
+        # scoring and traceback disabled.
+        out_srv = tmp_path / "served.csv"
+        rep = request(sock, {"op": "scan_db", "query": query, "top": 3,
+                             "output": str(out_srv)})
+        assert rep["ok"], rep
+        assert rep["n_rows"] == 7 and rep["output"] == str(out_srv)
+        assert len(rep["hits"]) == 3  # top-K still inline
+        from parallel_genomeseq_tpu.cli.solve_uniprot import main as up_main
+
+        qf = tmp_path / "q.fasta"
+        qf.write_text(">q\n" + query + "\n")
+        out_cli = tmp_path / "cli.csv"
+        assert up_main([
+            "--platform", "cpu", "--engine", "pallas", "--query", str(qf),
+            "--database", str(db), "--output", str(out_cli),
+            "--matrix", "blosum50", "--gap-open", "10", "--gap-penalty", "2",
+            "--batch-size", "4", "--pad-mult", "64", "--traceback-top", "0",
+        ]) == 0
+        assert out_srv.read_text() == out_cli.read_text()
+
         # Errors surface without killing the server.
         rep = request(sock, {"op": "scan_db", "query": ""})
         assert not rep["ok"]
