@@ -1040,10 +1040,19 @@ def _strips_body(score_of_window, shape, y_ref, best_ref, bestd_ref, rows_ref,
     if rows_ref is not None:
         # Snapshot this strip's boundary-row state: exactly what the next
         # strip's reads would observe (all strips write the same p-range;
-        # positions above it stay 0 from the s_idx == 0 init).
-        rows_ref[0] = lastrow_ref[:]
+        # positions above it stay 0 from the s_idx == 0 init). Pair-encoded
+        # rows (profile kernels, see _rows_init) snapshot both planes.
+        if isinstance(rows_ref, tuple):
+            rows_ref[0][0] = lastrow_ref[0][:]
+            rows_ref[1][0] = lastrow_ref[1][:]
+        else:
+            rows_ref[0] = lastrow_ref[:]
     if frows_ref is not None:
-        frows_ref[0] = flastrow_ref[:]
+        if isinstance(frows_ref, tuple):
+            frows_ref[0][0] = flastrow_ref[0][:]
+            frows_ref[1][0] = flastrow_ref[1][:]
+        else:
+            frows_ref[0] = flastrow_ref[:]
 
 
 @functools.partial(jax.jit, static_argnames=("match", "mismatch", "gap", "interpret"))
@@ -1131,12 +1140,16 @@ def _call_strips_affine(xs, ys, *, match, mismatch, gap, gopen, interpret):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("worst", "best_sub", "gap", "interpret", "ncodes"),
+    static_argnames=("worst", "best_sub", "gap", "interpret", "ncodes",
+                     "shared"),
 )
 def _call_strips_profile(pprof, ys, *, worst, best_sub, gap, interpret,
-                         ncodes=PROF_CODES):
-    W, M, B = pprof.shape
-    Ny = ys.shape[0]
+                         ncodes=PROF_CODES, shared=False):
+    """shared=True: pprof is a single (W, M, LANE) block reused by every
+    lane block (all lanes share one query — the strips-capable resident
+    database scan)."""
+    W, M, B_p = pprof.shape
+    Ny, B = ys.shape
     S = STRIP_S
     nstrips = M // S
     nblk = Ny // UNROLL
@@ -1150,11 +1163,17 @@ def _call_strips_profile(pprof, ys, *, worst, best_sub, gap, interpret,
         gap=gap, slot=slot, ncodes=ncodes,
     )
     Nlr = Ny + 4 * UNROLL
+    if shared:
+        p_spec = pl.BlockSpec((W, S, LANE), lambda b, s: (0, s, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        p_spec = pl.BlockSpec((W, S, LANE), lambda b, s: (0, s, b),
+                              memory_space=pltpu.VMEM)
     best, bestd = pl.pallas_call(
         kernel,
         grid=(B // LANE, nstrips),
         in_specs=[
-            pl.BlockSpec((W, S, LANE), lambda b, s: (0, s, b), memory_space=pltpu.VMEM),
+            p_spec,
             pl.BlockSpec((Ny, LANE), lambda b, s: (0, b), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -1180,12 +1199,14 @@ def _call_strips_profile(pprof, ys, *, worst, best_sub, gap, interpret,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("worst", "best_sub", "gap", "gopen", "interpret", "ncodes"),
+    static_argnames=("worst", "best_sub", "gap", "gopen", "interpret",
+                     "ncodes", "shared"),
 )
 def _call_strips_profile_affine(pprof, ys, *, worst, best_sub, gap,
-                                gopen, interpret, ncodes=PROF_CODES):
-    W, M, B = pprof.shape
-    Ny = ys.shape[0]
+                                gopen, interpret, ncodes=PROF_CODES,
+                                shared=False):
+    W, M, B_p = pprof.shape
+    Ny, B = ys.shape
     # The rounds-2/3 worker crashes of this kernel were NOT VMEM pressure:
     # probe_pa_bisect.py (2026-08-20) bisected them to 32-bit boundary-row
     # scratch (int32 and float32 both fault; int16 passes), fixed by the
@@ -1201,11 +1222,17 @@ def _call_strips_profile_affine(pprof, ys, *, worst, best_sub, gap,
         worst=worst, gap=gap, gopen=gopen, slot=slot, ncodes=ncodes,
     )
     Nlr = Ny + 4 * UNROLL
+    if shared:
+        p_spec = pl.BlockSpec((W, S, LANE), lambda b, s: (0, s, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        p_spec = pl.BlockSpec((W, S, LANE), lambda b, s: (0, s, b),
+                              memory_space=pltpu.VMEM)
     best, bestd = pl.pallas_call(
         kernel,
         grid=(B // LANE, nstrips),
         in_specs=[
-            pl.BlockSpec((W, S, LANE), lambda b, s: (0, s, b), memory_space=pltpu.VMEM),
+            p_spec,
             pl.BlockSpec((Ny, LANE), lambda b, s: (0, b), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -1322,6 +1349,156 @@ def _call_strips_affine_ckpt(xs, ys, *, match, mismatch, gap, gopen, interpret):
         interpret=interpret,
     )(xs, ys)
     return best, bestd, rows, frows
+
+
+def _kernel_strips_profile_ckpt(pprof_ref, y_ref, best_ref, bestd_ref,
+                                rows_hi_ref, rows_lo_ref, lr_hi_ref,
+                                lr_lo_ref, *, nblk: int, worst: int,
+                                gap: int, slot: int = 0,
+                                ncodes: int = PROF_CODES):
+    """Substitution-matrix strip kernel that CHECKPOINTS each strip's
+    boundary row (as the int16 hi/lo pair planes the profile kernels carry,
+    see _rows_init) — the profile sibling of _kernel_strips_ckpt, enabling
+    traceback for titin-class BLOSUM queries on the Pallas fast path."""
+    sow, shape = _packed_sow(pprof_ref, worst, slot, ncodes)
+    _strips_body(sow, shape, y_ref, best_ref, bestd_ref,
+                 (rows_hi_ref, rows_lo_ref), (lr_hi_ref, lr_lo_ref),
+                 nblk=nblk, gap=gap, slot=slot)
+
+
+def _kernel_strips_profile_affine_ckpt(pprof_ref, y_ref, best_ref, bestd_ref,
+                                       rows_hi_ref, rows_lo_ref, frows_hi_ref,
+                                       frows_lo_ref, lr_hi_ref, lr_lo_ref,
+                                       flr_hi_ref, flr_lo_ref, *, nblk: int,
+                                       worst: int, gap: int, gopen: int,
+                                       slot: int = 0,
+                                       ncodes: int = PROF_CODES):
+    """Affine + substitution-matrix strip kernel checkpointing BOTH the H
+    and the F boundary-row pairs per strip (E is row-internal and never
+    crosses a strip edge) — the profile sibling of
+    _kernel_strips_affine_ckpt."""
+    sow, shape = _packed_sow(pprof_ref, worst, slot, ncodes)
+    _strips_body(sow, shape, y_ref, best_ref, bestd_ref,
+                 (rows_hi_ref, rows_lo_ref), (lr_hi_ref, lr_lo_ref),
+                 nblk=nblk, gap=gap, slot=slot, gopen=gopen,
+                 flastrow_ref=(flr_hi_ref, flr_lo_ref),
+                 frows_ref=(frows_hi_ref, frows_lo_ref))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("worst", "best_sub", "gap", "interpret", "ncodes")
+)
+def _call_strips_profile_ckpt(pprof, ys, *, worst, best_sub, gap, interpret,
+                              ncodes=PROF_CODES):
+    """Profile strip scoring pass that also returns the (nstrips, Nlr, B)
+    int16 hi/lo boundary-row checkpoint planes (see
+    _kernel_strips_profile_ckpt)."""
+    W, M, B = pprof.shape
+    Ny = ys.shape[0]
+    S = STRIP_S
+    nstrips = M // S
+    nblk = Ny // UNROLL
+    slot = _pick_slot(nblk * UNROLL, max(best_sub, 1) * M)
+    kernel = functools.partial(
+        _kernel_strips_profile_ckpt, nblk=nblk, worst=worst, gap=gap,
+        slot=slot, ncodes=ncodes,
+    )
+    Nlr = Ny + 4 * UNROLL
+    row_spec = pl.BlockSpec((1, Nlr, LANE), lambda b, s: (s, 0, b),
+                            memory_space=pltpu.VMEM)
+    best, bestd, rows_hi, rows_lo = pl.pallas_call(
+        kernel,
+        grid=(B // LANE, nstrips),
+        in_specs=[
+            pl.BlockSpec((W, S, LANE), lambda b, s: (0, s, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ny, LANE), lambda b, s: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((S, LANE), lambda b, s: (s, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, LANE), lambda b, s: (s, b), memory_space=pltpu.VMEM),
+            row_spec,
+            row_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, B), jnp.int32),
+            jax.ShapeDtypeStruct((M, B), jnp.int32),
+            jax.ShapeDtypeStruct((nstrips, Nlr, B), jnp.int16),
+            jax.ShapeDtypeStruct((nstrips, Nlr, B), jnp.int16),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Nlr, LANE), jnp.int16),  # H boundary rows, hi
+            pltpu.VMEM((Nlr, LANE), jnp.int16),  # H boundary rows, lo
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=23 * (M // S) * (S + Ny) * S * B,
+            bytes_accessed=M * B * 16 * W + 2 * (M // S) * Nlr * B * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(pprof, ys)
+    return best, bestd, rows_hi, rows_lo
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("worst", "best_sub", "gap", "gopen", "interpret", "ncodes"),
+)
+def _call_strips_profile_affine_ckpt(pprof, ys, *, worst, best_sub, gap,
+                                     gopen, interpret, ncodes=PROF_CODES):
+    """Affine profile strip scoring pass that also returns the H and F
+    int16 hi/lo boundary-row checkpoint planes (see
+    _kernel_strips_profile_affine_ckpt)."""
+    W, M, B = pprof.shape
+    Ny = ys.shape[0]
+    S = STRIP_S_PA
+    nstrips = M // S
+    nblk = Ny // UNROLL
+    slot = _pick_slot(nblk * UNROLL, max(best_sub, 1) * M)
+    kernel = functools.partial(
+        _kernel_strips_profile_affine_ckpt, nblk=nblk, worst=worst, gap=gap,
+        gopen=gopen, slot=slot, ncodes=ncodes,
+    )
+    Nlr = Ny + 4 * UNROLL
+    row_spec = pl.BlockSpec((1, Nlr, LANE), lambda b, s: (s, 0, b),
+                            memory_space=pltpu.VMEM)
+    row_shape = jax.ShapeDtypeStruct((nstrips, Nlr, B), jnp.int16)
+    best, bestd, rows_hi, rows_lo, frows_hi, frows_lo = pl.pallas_call(
+        kernel,
+        grid=(B // LANE, nstrips),
+        in_specs=[
+            pl.BlockSpec((W, S, LANE), lambda b, s: (0, s, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ny, LANE), lambda b, s: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((S, LANE), lambda b, s: (s, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, LANE), lambda b, s: (s, b), memory_space=pltpu.VMEM),
+            row_spec,
+            row_spec,
+            row_spec,
+            row_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, B), jnp.int32),
+            jax.ShapeDtypeStruct((M, B), jnp.int32),
+            row_shape,
+            row_shape,
+            row_shape,
+            row_shape,
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Nlr, LANE), jnp.int16),  # H boundary rows, hi
+            pltpu.VMEM((Nlr, LANE), jnp.int16),  # H boundary rows, lo
+            pltpu.VMEM((Nlr, LANE), jnp.int16),  # F boundary rows, hi
+            pltpu.VMEM((Nlr, LANE), jnp.int16),  # F boundary rows, lo
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=29 * (M // S) * (S + Ny) * S * B,
+            bytes_accessed=M * B * 16 * W + 4 * (M // S) * Nlr * B * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(pprof, ys)
+    return best, bestd, rows_hi, rows_lo, frows_hi, frows_lo
 
 
 def _kernel_strip_moves(x_ref, y_ref, rowin_ref, moves_ref, h1_s, s2_s, ywin_s,
@@ -1518,6 +1695,207 @@ def _call_strip_affine_moves(x_strip, ys, rowin, frowin, *, match, mismatch,
     return moves
 
 
+def _kernel_strip_profile_moves(pprof_ref, y_ref, rin_hi_ref, rin_lo_ref,
+                                moves_ref, h1_s, s2_s, ywin_s,
+                                *, worst: int, gap: int,
+                                ncodes: int = PROF_CODES):
+    """Replay ONE strip's substitution-matrix recurrence from its
+    checkpointed incoming boundary-row pair, emitting the same per-cell
+    move/stop codes as _kernel_strip_moves (the walk is scoring-agnostic;
+    only the score-of-window closure differs). The boundary pair decodes to
+    the exact forward-pass H values, so the greedy walk over these codes
+    matches the dense-matrix walk bit for bit."""
+    sow, (S, B) = _packed_sow(pprof_ref, worst, 0, ncodes)
+    o = pl.program_id(1)
+
+    @pl.when(o == 0)
+    def _():
+        z = jnp.zeros((S, B), jnp.int32)
+        h1_s[:] = z
+        s2_s[:] = z
+        ywin_s[:] = z
+
+    h1, s2, ywin = h1_s[:], s2_s[:], ywin_s[:]
+    base = pl.multiple_of(o * UNROLL, UNROLL)
+    blk = y_ref[pl.ds(base, UNROLL), :].astype(jnp.int32)
+    rblk = _rows_load((rin_hi_ref, rin_lo_ref), base, 2 * UNROLL)
+    for k in range(UNROLL):
+        yc = blk[k : k + 1, :]
+        ywin = _shift_down(ywin, yc)
+        sc = sow(ywin)
+        north0 = rblk[k + STRIP_PADW + 1 : k + STRIP_PADW + 2, :]
+        s1 = _shift_down(h1, north0)
+        hd = jnp.maximum(
+            jnp.maximum(s2 + sc, jnp.maximum(h1, s1) - gap), 0
+        )
+        n1, n2, n3 = s2, h1, s1  # nw, west, north
+        nw_mv = (n1 >= n2) & (n1 >= n3)
+        w_mv = (n2 >= n1) & (n2 >= n3)
+        mv = jnp.where(nw_mv, 0, jnp.where(w_mv, 1, 2))
+        stop = (n1 == 0) | (n2 == 0) | (n3 == 0)
+        mv = mv + jnp.where(stop, 4, 0)
+        moves_ref[k] = mv.astype(jnp.uint8)
+        s2 = s1
+        h1 = hd
+    h1_s[:] = h1
+    s2_s[:] = s2
+    ywin_s[:] = ywin
+
+
+@functools.partial(
+    jax.jit, static_argnames=("worst", "gap", "interpret", "ncodes")
+)
+def _call_strip_profile_moves(pprof_strip, ys, rin_hi, rin_lo, *, worst,
+                              gap, interpret, ncodes=PROF_CODES):
+    W, S, B = pprof_strip.shape
+    Ny = ys.shape[0]
+    nblk = Ny // UNROLL
+    kernel = functools.partial(
+        _kernel_strip_profile_moves, worst=worst, gap=gap, ncodes=ncodes
+    )
+    Nlr = rin_hi.shape[0]
+    row_spec = pl.BlockSpec((Nlr, LANE), lambda b, o: (0, b),
+                            memory_space=pltpu.VMEM)
+    moves = pl.pallas_call(
+        kernel,
+        grid=(B // LANE, nblk),
+        in_specs=[
+            pl.BlockSpec((W, S, LANE), lambda b, o: (0, 0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ny, LANE), lambda b, o: (0, b), memory_space=pltpu.VMEM),
+            row_spec,
+            row_spec,
+        ],
+        out_specs=pl.BlockSpec(
+            (UNROLL, S, LANE), lambda b, o: (o, 0, b), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nblk * UNROLL, S, B), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((S, LANE), jnp.int32)] * 3,
+        cost_estimate=pl.CostEstimate(
+            flops=27 * (S + Ny) * S * B, bytes_accessed=(S + Ny) * S * B,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(pprof_strip, ys, rin_hi, rin_lo)
+    return moves
+
+
+def _kernel_strip_profile_affine_moves(pprof_ref, y_ref, rin_hi_ref,
+                                       rin_lo_ref, frin_hi_ref, frin_lo_ref,
+                                       moves_ref, h1_s, s2_s, e1_s, f1_s,
+                                       ywin_s, *, worst: int, gap: int,
+                                       gopen: int, ncodes: int = PROF_CODES):
+    """Replay ONE strip's affine (Gotoh) substitution-matrix recurrence
+    from its checkpointed H and F boundary-row pairs, emitting scan_dp's
+    affine move codes — the profile sibling of _kernel_strip_affine_moves
+    (whose E/F-deviation argument is score-independent and carries over:
+    H >= 0 everywhere and boundary-region E/F chains deviate only while
+    strictly negative, where neither the H-source comparison nor a walked
+    gap run can observe them)."""
+    from .scan_dp import E_EXT_BIT, F_EXT_BIT, H_E, H_F, H_NW, H_ZERO
+
+    sow, (S, B) = _packed_sow(pprof_ref, worst, 0, ncodes)
+    o = pl.program_id(1)
+    gp = np.asarray(gap, jnp.int32)
+    go = np.asarray(gopen, jnp.int32)
+
+    @pl.when(o == 0)
+    def _():
+        z = jnp.zeros((S, B), jnp.int32)
+        h1_s[:] = z
+        s2_s[:] = z
+        e1_s[:] = z
+        f1_s[:] = z
+        ywin_s[:] = z
+
+    h1, s2, e1, f1 = h1_s[:], s2_s[:], e1_s[:], f1_s[:]
+    ywin = ywin_s[:]
+    base = pl.multiple_of(o * UNROLL, UNROLL)
+    blk = y_ref[pl.ds(base, UNROLL), :].astype(jnp.int32)
+    rblk = _rows_load((rin_hi_ref, rin_lo_ref), base, 2 * UNROLL)
+    frblk = _rows_load((frin_hi_ref, frin_lo_ref), base, 2 * UNROLL)
+    for k in range(UNROLL):
+        yc = blk[k : k + 1, :]
+        ywin = _shift_down(ywin, yc)
+        sc = sow(ywin)
+        north0 = rblk[k + STRIP_PADW + 1 : k + STRIP_PADW + 2, :]
+        s1 = _shift_down(h1, north0)
+        fnorth0 = frblk[k + STRIP_PADW + 1 : k + STRIP_PADW + 2, :]
+        f1s = _shift_down(f1, fnorth0)
+        e_open = h1 - go
+        f_open = s1 - go
+        e_d = jnp.maximum(e_open, e1) - gp
+        f_d = jnp.maximum(f_open, f1s) - gp
+        diag = s2 + sc
+        hd = jnp.maximum(jnp.maximum(diag, e_d), jnp.maximum(f_d, 0))
+        # Same code priority as scan_dp._wavefront_affine: ZERO > NW > E >
+        # F; codes built in int32, cast once (the v5e sub-word relayout
+        # gotcha — see _kernel_strip_affine_moves).
+        h_src = jnp.where(
+            hd == 0,
+            int(H_ZERO),
+            jnp.where(hd == diag, int(H_NW),
+                      jnp.where(hd == e_d, int(H_E), int(H_F))),
+        )
+        e_ext = e1 >= e_open
+        f_ext = f1s >= f_open
+        mv = (
+            h_src
+            + jnp.where(e_ext, int(E_EXT_BIT), 0)
+            + jnp.where(f_ext, int(F_EXT_BIT), 0)
+        )
+        moves_ref[k] = mv.astype(jnp.uint8)
+        s2 = s1
+        e1 = e_d
+        f1 = f_d
+        h1 = hd
+    h1_s[:] = h1
+    s2_s[:] = s2
+    e1_s[:] = e1
+    f1_s[:] = f1
+    ywin_s[:] = ywin
+
+
+@functools.partial(
+    jax.jit, static_argnames=("worst", "gap", "gopen", "interpret", "ncodes")
+)
+def _call_strip_profile_affine_moves(pprof_strip, ys, rin_hi, rin_lo,
+                                     frin_hi, frin_lo, *, worst, gap, gopen,
+                                     interpret, ncodes=PROF_CODES):
+    W, S, B = pprof_strip.shape
+    Ny = ys.shape[0]
+    nblk = Ny // UNROLL
+    kernel = functools.partial(
+        _kernel_strip_profile_affine_moves, worst=worst, gap=gap,
+        gopen=gopen, ncodes=ncodes,
+    )
+    Nlr = rin_hi.shape[0]
+    row_spec = pl.BlockSpec((Nlr, LANE), lambda b, o: (0, b),
+                            memory_space=pltpu.VMEM)
+    moves = pl.pallas_call(
+        kernel,
+        grid=(B // LANE, nblk),
+        in_specs=[
+            pl.BlockSpec((W, S, LANE), lambda b, o: (0, 0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ny, LANE), lambda b, o: (0, b), memory_space=pltpu.VMEM),
+            row_spec,
+            row_spec,
+            row_spec,
+            row_spec,
+        ],
+        out_specs=pl.BlockSpec(
+            (UNROLL, S, LANE), lambda b, o: (o, 0, b), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nblk * UNROLL, S, B), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((S, LANE), jnp.int32)] * 5,
+        cost_estimate=pl.CostEstimate(
+            flops=33 * (S + Ny) * S * B, bytes_accessed=(S + Ny) * S * B,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(pprof_strip, ys, rin_hi, rin_lo, frin_hi, frin_lo)
+    return moves
+
+
 @functools.partial(jax.jit, static_argnames=("strip_s",))
 def _reduce_best_strips(best, bestd, m, n, *, strip_s: int = STRIP_S):
     """Per-lane (score, i, j) from strip-local diagonal indices: cell at
@@ -1675,15 +2053,47 @@ def score_db_slab_jit(slab_codes, row0, lens, pprof,
     return score, i, j
 
 
+def score_db_slab_strips_jit(slab_codes, row0, lens, pprof,
+                             *, N: int, worst: int, best_sub: int, gap: int,
+                             gopen: int, interpret: bool,
+                             ncodes: int = PROF_CODES):
+    """score_db_slab_jit for TITIN-CLASS queries (M > MAX_M): the window
+    sliced from the resident slab runs through the strip kernels instead of
+    the single-strip profile kernel, so long queries keep the
+    zero-per-batch-transfer slab path instead of falling back to the
+    per-batch-upload loop (VERDICT r4 item 5). pprof's M must be a multiple
+    of the strip height (STRIP_S, or STRIP_S_PA when gopen > 0); the strip
+    window only needs S + N rows, so the slab's existing M-sized tail
+    covers it. Same (score, i, j) contract as score_db_slab_jit."""
+    B = slab_codes.shape[1]
+    M = pprof.shape[1]
+    S = STRIP_S_PA if gopen else STRIP_S
+    Ny = _round_up(max(N, 8) + S + 2 * UNROLL, UNROLL)
+    ys_raw = jax.lax.dynamic_slice(slab_codes, (row0, 0), (Ny, B))
+    t = jnp.arange(Ny, dtype=jnp.int32)[:, None]
+    ycodes = jnp.where(t < lens[None, :], ys_raw, np.uint8(0))
+    if gopen:
+        best, bestd = _call_strips_profile_affine(
+            pprof, ycodes, worst=worst, best_sub=best_sub, gap=gap,
+            gopen=gopen, interpret=interpret, shared=True, ncodes=ncodes,
+        )
+    else:
+        best, bestd = _call_strips_profile(
+            pprof, ycodes, worst=worst, best_sub=best_sub, gap=gap,
+            interpret=interpret, shared=True, ncodes=ncodes,
+        )
+    return _reduce_best_strips(best, bestd, None, None, strip_s=S)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "N", "worst", "best_sub", "gap", "gopen",
-                     "interpret", "ncodes"),
+                     "interpret", "ncodes", "strips"),
 )
 def score_db_slab_group_jit(slab_codes, g0, row0_all, lens_all, pprof,
                             *, k: int, N: int, worst: int, best_sub: int,
                             gap: int, gopen: int, interpret: bool,
-                            ncodes: int = PROF_CODES):
+                            ncodes: int = PROF_CODES, strips: bool = False):
     """Score a GROUP of k same-shape batches in ONE dispatch via lax.scan.
 
     The per-batch dispatch of score_db_slab_jit costs ~12 ms of host/tunnel
@@ -1704,7 +2114,8 @@ def score_db_slab_group_jit(slab_codes, g0, row0_all, lens_all, pprof,
 
     def step(_, inp):
         row0, lens = inp
-        out = score_db_slab_jit(
+        fn = score_db_slab_strips_jit if strips else score_db_slab_jit
+        out = fn(
             slab_codes, row0, lens, pprof, N=N, worst=worst,
             best_sub=best_sub, gap=gap, gopen=gopen, interpret=interpret,
             ncodes=ncodes,
@@ -1713,6 +2124,48 @@ def score_db_slab_group_jit(slab_codes, g0, row0_all, lens_all, pprof,
 
     _, (score, i, j) = jax.lax.scan(step, 0, (row0s, lens_k))
     return score, i, j
+
+
+def _make_repeat(call_fn):
+    """Build a jitted K-iteration repeat wrapper around a single-strip
+    scoring call: ONE device dispatch runs the kernel K times via lax.scan,
+    each iteration on a row-rolled copy of the reference block (the traced
+    roll shift makes every body iteration's input distinct, so XLA can
+    neither hoist the kernel out of the loop nor CSE iterations), and the
+    returned scalar folds every iteration's scores in (nothing is dead).
+
+    This exists for benchmarking: timing two dispatches with different K
+    and differencing gives a kernel-rate estimate in which the
+    host<->device round trip appears exactly ONCE per dispatch — immune to
+    the tunnel-RTT drift that poisoned four generations of host-side
+    marginal estimators on this rig (see bench.py kernel_repeat_estimate
+    and CLAUDE.md "ESTIMATOR SAGA")."""
+
+    @functools.partial(jax.jit, static_argnames=("K", "kw"))
+    def rep(a0, a1, *, K, kw):
+        kwd = dict(kw)
+
+        def body(acc, k):
+            a1k = jnp.roll(a1, k, axis=0)
+            best, _ = call_fn(a0, a1k, **kwd)
+            return acc + jnp.max(best).astype(jnp.int32), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.int32(0), jnp.arange(K, dtype=jnp.int32)
+        )
+        return acc
+
+    return rep
+
+
+_REPEAT_CACHE = {}
+
+
+def _repeat_call(call_fn, a0, a1, K, **kw):
+    rep = _REPEAT_CACHE.get(call_fn)
+    if rep is None:
+        rep = _REPEAT_CACHE[call_fn] = _make_repeat(call_fn)
+    return rep(a0, a1, K=K, kw=tuple(sorted(kw.items())))
 
 
 class PallasEngine:
@@ -1883,6 +2336,11 @@ class PallasEngine:
         """
         from .traceback import walk_strip_level
 
+        if not self.cfg.is_uniform:
+            return self._strip_profile_moves(
+                x_bm, y_bn, m, n, max_steps=max_steps,
+                west_slack=west_slack, affine=False,
+            )
         x_bm = np.asarray(x_bm, np.uint8)
         y_bn = np.asarray(y_bn, np.uint8)
         prep = self.prepare(x_bm, y_bn, m, n)
@@ -1973,10 +2431,15 @@ class PallasEngine:
         """
         from .traceback import walk_strip_level_affine
 
-        if not (self.cfg.is_uniform and self.cfg.is_affine):
+        if not self.cfg.is_affine:
             raise EnvelopeError(
-                "score_batch_strip_affine_moves requires uniform affine "
-                "scoring (matrix+affine strips are gated to scan on hardware)"
+                "score_batch_strip_affine_moves requires affine scoring; "
+                "use score_batch_strip_moves for linear gaps"
+            )
+        if not self.cfg.is_uniform:
+            return self._strip_profile_moves(
+                x_bm, y_bn, m, n, max_steps=max_steps,
+                west_slack=west_slack, affine=True,
             )
         x_bm = np.asarray(x_bm, np.uint8)
         y_bn = np.asarray(y_bn, np.uint8)
@@ -2050,6 +2513,126 @@ class PallasEngine:
             del moves
             level_us[nstrips - 1 - s] = (_time.perf_counter() - t_lvl) * 1e6
         _, _, pos, _, _, cx, cy, steps = state
+        return {
+            "score": score, "i": res["i"], "j": res["j"], "pos": pos,
+            "cx": cx, "cy": cy, "steps": steps, "B0": prep["B0"],
+            "level_us": tuple(level_us),
+        }
+
+    def _strip_profile_moves(self, x_bm, y_bn, m, n, *, max_steps: int,
+                             west_slack: int, affine: bool):
+        """Substitution-matrix strip traceback (linear or affine): the
+        profile sibling of score_batch_strip_moves /
+        score_batch_strip_affine_moves, closing the last fast-path gap —
+        a > MAX_M BLOSUM query (titin-class) now gets consensus on Pallas
+        instead of the scan fallback. Same three-stage architecture; the
+        boundary-row checkpoints ride the int16 hi/lo pair planes the
+        profile strip kernels already carry (probe_pa_bisect.py: any
+        32-bit persistent scratch faults the v5e worker)."""
+        from .traceback import walk_strip_level, walk_strip_level_affine
+
+        x_bm = np.asarray(x_bm, np.uint8)
+        y_bn = np.asarray(y_bn, np.uint8)
+        prep = self.prepare(x_bm, y_bn, m, n)
+        if not prep["strips"]:
+            raise EnvelopeError(
+                "strip traceback is for strip-length reads (M > MAX_M); "
+                "single-strip matrix traceback uses the scan engine's "
+                "move codes"
+            )
+        xs, ys = prep["args"]
+        plut, elut = self._lut()
+        pprof = _profile_gather(jnp.asarray(xs), plut)
+        ycodes = _encode_y(jnp.asarray(ys), elut)
+        Smat = np.asarray(self.cfg.matrix).astype(np.int32)
+        worst, best_sub = int(Smat.min()), int(Smat.max())
+        gap = int(self.cfg.gap_penalty)
+        gopen = int(self.cfg.gap_open)
+        ncodes = self._ncodes()
+        if affine:
+            (best, bestd, rows_hi, rows_lo, frows_hi,
+             frows_lo) = _call_strips_profile_affine_ckpt(
+                pprof, ycodes, worst=worst, best_sub=best_sub, gap=gap,
+                gopen=gopen, interpret=self.interpret, ncodes=ncodes,
+            )
+            S = STRIP_S_PA
+        else:
+            best, bestd, rows_hi, rows_lo = _call_strips_profile_ckpt(
+                pprof, ycodes, worst=worst, best_sub=best_sub, gap=gap,
+                interpret=self.interpret, ncodes=ncodes,
+            )
+            S = STRIP_S
+        score, i, j = _reduce_best_strips(best, bestd, None, None, strip_s=S)
+        res = {"score": score, "i": i, "j": j}
+        path = "strips_profile_affine" if affine else "strips_profile"
+        if path not in self._checked:
+            self._verify_first(x_bm, y_bn, m, n, res, need_pos=True,
+                               path=path)
+
+        M, B = xs.shape
+        nstrips = M // S
+        y_walk = jnp.asarray(ys.T)  # raw bytes for consensus emission
+        i = jnp.asarray(i, jnp.int32)
+        j = jnp.asarray(j, jnp.int32)
+        zb = jnp.zeros((B,), jnp.int32)
+        bufs = (jnp.zeros((max_steps, B), jnp.uint8),
+                jnp.zeros((max_steps, B), jnp.uint8))
+        if affine:
+            state = (i, j, zb, zb, i > 0, bufs[0], bufs[1], zb)
+            a_idx = 4
+        else:
+            state = (i, j, zb, i > 0, bufs[0], bufs[1], zb)
+            a_idx = 3
+        zero_row = np.zeros(rows_hi.shape[1:], np.int16)
+        if affine:
+            # Strip 0's incoming F row is the forward init value, encoded
+            # as the same hi/lo pair split _rows_store applies.
+            f0 = -(gopen + gap + 1)
+            fh0, fl0 = divmod(f0, 1 << 15)
+            nof_hi = np.full(frows_hi.shape[1:], fh0, np.int16)
+            nof_lo = np.full(frows_lo.shape[1:], fl0, np.int16)
+        import time as _time
+
+        level_us = [0.0] * nstrips  # top strip first (walk order)
+        for s in range(nstrips - 1, -1, -1):
+            t_lvl = _time.perf_counter()
+            ih = np.asarray(state[0])
+            ah = np.asarray(state[a_idx])
+            if not (ah & (ih - 1 >= s * S)).any():
+                continue
+            rin_hi = rows_hi[s - 1] if s > 0 else zero_row
+            rin_lo = rows_lo[s - 1] if s > 0 else zero_row
+            pprof_strip = pprof[:, s * S : (s + 1) * S, :]
+            if affine:
+                frin_hi = frows_hi[s - 1] if s > 0 else nof_hi
+                frin_lo = frows_lo[s - 1] if s > 0 else nof_lo
+                moves = _call_strip_profile_affine_moves(
+                    pprof_strip, ycodes, rin_hi, rin_lo, frin_hi, frin_lo,
+                    worst=worst, gap=gap, gopen=gopen,
+                    interpret=self.interpret, ncodes=ncodes,
+                )
+            else:
+                moves = _call_strip_profile_moves(
+                    pprof_strip, ycodes, rin_hi, rin_lo,
+                    worst=worst, gap=gap, interpret=self.interpret,
+                    ncodes=ncodes,
+                )
+            x_strip = jnp.asarray(xs[s * S : (s + 1) * S])
+            walk = walk_strip_level_affine if affine else walk_strip_level
+            while True:
+                state = walk(
+                    moves, x_strip, y_walk, s * S, state,
+                    max_steps=S + west_slack,
+                )
+                ih = np.asarray(state[0])
+                ah = np.asarray(state[a_idx])
+                # Rare: a lane spent > west_slack gap moves inside this
+                # strip; rerun the level (progress is guaranteed per step).
+                if not (ah & (ih - 1 >= s * S)).any():
+                    break
+            del moves
+            level_us[nstrips - 1 - s] = (_time.perf_counter() - t_lvl) * 1e6
+        pos, cx, cy, steps = state[2], state[-3], state[-2], state[-1]
         return {
             "score": score, "i": res["i"], "j": res["j"], "pos": pos,
             "cx": cx, "cy": cy, "steps": steps, "B0": prep["B0"],
@@ -2241,3 +2824,33 @@ class PallasEngine:
             return {"score": score[:B0], "i": z[:B0], "j": z[:B0]}
         score, i, j = _reduce_best(best, bestd)
         return {"score": score[:B0], "i": i[:B0], "j": j[:B0]}
+
+    def score_repeated(self, prep, K: int):
+        """K back-to-back kernel executions in ONE device dispatch (see
+        _make_repeat): the on-device benchmarking loop. Returns a scalar
+        device array whose value depends on every iteration (fetch it to
+        sync). Single-strip modes only; prep should be device-resident
+        (prepare(..., device=True)) so no host transfer is timed."""
+        if prep.get("strips"):
+            raise ValueError("score_repeated is single-strip only")
+        args = prep["args"]
+        if self.cfg.is_uniform:
+            kw = dict(match=int(self.cfg.match),
+                      mismatch=int(self.cfg.mismatch),
+                      gap=int(self.cfg.gap_penalty),
+                      interpret=self.interpret)
+            if self.cfg.is_affine:
+                return _repeat_call(_call_uniform_affine, *args, K,
+                                    gopen=int(self.cfg.gap_open), **kw)
+            return _repeat_call(_call_uniform, *args, K, **kw)
+        if args[0].ndim == 2:
+            plut, elut = self._lut()
+            args = [_profile_gather(args[0], plut), _encode_y(args[1], elut)]
+        S = np.asarray(self.cfg.matrix).astype(np.int32)
+        kw = dict(worst=int(S.min()), best_sub=int(S.max()),
+                  gap=int(self.cfg.gap_penalty), interpret=self.interpret,
+                  ncodes=self._ncodes())
+        if self.cfg.is_affine:
+            return _repeat_call(_call_profile_affine, *args, K,
+                                gopen=int(self.cfg.gap_open), **kw)
+        return _repeat_call(_call_profile, *args, K, **kw)

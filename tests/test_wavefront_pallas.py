@@ -261,3 +261,44 @@ def test_i16_pair_row_encoding_roundtrip():
     l2 = vals - (h2 << 15)
     np.testing.assert_array_equal(h2, hi)
     np.testing.assert_array_equal(l2, lo)
+
+
+def test_score_repeated_matches_score_prepared(rng):
+    """The on-device repeat loop (the benchmarking dispatch that ends the
+    host-side estimator drift saga) must actually execute the kernel: at
+    K=1 the accumulated scalar equals the max lane score of the plain
+    dispatch, and at K=3 it equals the sum over the three row-rolled
+    inputs computed independently."""
+    import jax.numpy as jnp
+
+    from parallel_genomeseq_tpu.ops.substitution import blosum_config
+
+    for cfg in (
+        ScoringConfig(),
+        blosum_config("blosum50", gap_penalty=2.0),
+        blosum_config("blosum50", gap_penalty=2.0, gap_open=10.0),
+    ):
+        eng = PallasEngine(cfg)
+        alpha = cfg.alphabet or "ACGT"
+        B, M, N = 8, 24, 40
+        xs = batch_pad(
+            [to_bytes("".join(rng.choice(list(alpha), M)))] * B, M, X_PAD
+        )
+        ys = batch_pad(
+            [to_bytes("".join(rng.choice(list(alpha), N))) for _ in range(B)],
+            N, Y_PAD,
+        )
+        m = np.full(B, M, np.int32)
+        n = np.full(B, N, np.int32)
+        prep = eng.prepare(xs, ys, m, n, device=True)
+        acc1 = int(np.asarray(eng.score_repeated(prep, 1)))
+        base = int(np.asarray(eng.score_prepared(prep)["score"]).max())
+        assert acc1 == base
+        # K=3: independently score each rolled variant of the kernel-layout
+        # reference block and sum the max lane scores.
+        want = 0
+        for k in range(3):
+            prep_k = {**prep, "args": [prep["args"][0],
+                                       jnp.roll(prep["args"][1], k, axis=0)]}
+            want += int(np.asarray(eng.score_prepared(prep_k)["score"]).max())
+        assert int(np.asarray(eng.score_repeated(prep, 3))) == want
