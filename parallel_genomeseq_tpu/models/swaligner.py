@@ -166,16 +166,14 @@ class BatchSWAligner:
                 ys_w[: len(yb)] = ys
                 res = resp
                 xs, ys, M = xs_w, ys_w, Mp  # walk over the padded geometry
-            elif (
-                isinstance(self.scorer, PallasEngine)
-                and self.cfg.is_uniform
-                and (M > MAX_M or not self.cfg.is_affine)
-            ):
-                # Strip-length reads: checkpointed strip recompute — the
+            elif isinstance(self.scorer, PallasEngine) and M > MAX_M:
+                # Strip-length reads (uniform OR substitution-matrix,
+                # linear OR affine): checkpointed strip recompute — the
                 # scan emit_moves tensor would be O(D*M*B) (~40 GB at the
-                # solve_big winner shape). The affine variant checkpoints
-                # the F boundary rows alongside H and replays the H/E/F
-                # state machine.
+                # solve_big winner shape). The affine variants checkpoint
+                # the F boundary rows alongside H and replay the H/E/F
+                # state machine; the profile variants ride the int16 hi/lo
+                # boundary-row pairs.
                 try:
                     if self.cfg.is_affine:
                         strip_res = self.scorer.score_batch_strip_affine_moves(
@@ -189,18 +187,19 @@ class BatchSWAligner:
                 except EnvelopeError:
                     res = self.engine.score_batch(xs, ys, m, n, emit_moves=True)
             else:
-                # General traceback path (float, substitution matrices):
-                # the scan sweep materializes a (D, M, B) uint8 move
-                # tensor. Guard the shapes where that cannot fit — only
-                # uniform scoring has the checkpointed strip traceback
-                # that avoids it.
+                # General traceback path (float scoring, or single-strip
+                # shapes on the scan engine): the scan sweep materializes
+                # a (D, M, B) uint8 move tensor. Guard the shapes where
+                # that cannot fit — strip-length reads on a PallasEngine
+                # scorer (any scoring family) take the checkpointed strip
+                # traceback above instead.
                 est = (M + N) * M * len(xb)
                 if est > 2 * 1024**3:
                     raise ValueError(
                         f"traceback at this shape needs a ~{est/1e9:.1f} GB "
-                        "move tensor (scan emit_moves); checkpointed strip "
-                        "traceback exists only for uniform scoring — reduce "
-                        "the batch size or run with traceback=False"
+                        "move tensor (scan emit_moves); use a Pallas scorer "
+                        "(checkpointed strip traceback), reduce the batch "
+                        "size, or run with traceback=False"
                     )
                 res = self.engine.score_batch(xs, ys, m, n, emit_moves=True)
         else:

@@ -221,3 +221,51 @@ def test_strips_affine_vs_scan(rng):
     # deletion lane: at least the planted segment minus one opened 3-long
     # gap (random flanking bases can extend the local alignment further)
     assert int(np.asarray(got["score"])[1]) >= 3 * len(seg) - (4 + 3 * 1)
+
+
+def test_strip_profile_traceback_vs_oracle(rng):
+    """Full traceback for titin-class BLOSUM queries on the Pallas fast
+    path (VERDICT r4 #7: profile-strips replay) — checkpointed int16
+    hi/lo boundary-row pairs, per-strip packed-profile move replay — must
+    match the numpy dense-matrix oracle exactly, linear AND affine."""
+    from parallel_genomeseq_tpu.models.swaligner import BatchSWAligner
+    from parallel_genomeseq_tpu.ops import oracle
+    from parallel_genomeseq_tpu.ops.substitution import blosum_config
+
+    for gopen in (0.0, 10.0):
+        cfg = blosum_config("blosum50", gap_penalty=2.0, gap_open=gopen)
+        alpha = np.frombuffer(cfg.alphabet.encode(), np.uint8)
+        m = MAX_M + 300
+        n = 900
+        ref = rng.choice(alpha, size=n)
+        reads = []
+        for subs, indels in [(0, 0), (30, 0), (15, 6)]:
+            s0 = int(rng.integers(0, n - 700))
+            seg = _mutate_alpha(rng, ref[s0 : s0 + 700], subs, indels, alpha)
+            r = rng.choice(alpha, size=m)
+            r[200 : 200 + len(seg)] = seg[: min(len(seg), m - 200)]
+            reads.append(r.tobytes().decode("ascii"))
+        reads.append(rng.choice(alpha, size=m).tobytes().decode("ascii"))
+        ref_s = ref.tobytes().decode("ascii")
+
+        al = BatchSWAligner(cfg, score_engine="pallas")
+        got = al.align_batch(reads, [ref_s])
+        for k, read in enumerate(reads):
+            want = oracle.align(read, ref_s, cfg)
+            assert got[k].score == want.score, (gopen, k)
+            assert got[k].pos == want.pos, (gopen, k)
+            assert got[k].consensus_x == want.consensus_x, (gopen, k)
+            assert got[k].consensus_y == want.consensus_y, (gopen, k)
+
+
+def _mutate_alpha(rng, seq, n_sub, n_indel, alpha):
+    s = list(seq)
+    for _ in range(n_sub):
+        s[int(rng.integers(0, len(s)))] = int(rng.choice(alpha))
+    for _ in range(n_indel):
+        p = int(rng.integers(1, len(s) - 1))
+        if rng.integers(0, 2):
+            s.insert(p, int(rng.choice(alpha)))
+        else:
+            del s[p]
+    return np.array(s, np.uint8)
