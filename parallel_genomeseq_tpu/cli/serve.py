@@ -328,6 +328,13 @@ def main(argv=None):
     p.add_argument("--db-batch-size", type=int, default=8192)
     p.add_argument("--db-pad-mult", type=int, default=512)
     p.add_argument(
+        "--db-max-query-len", type=int, default=0,
+        help="accept scan_db queries up to this length (0 = the "
+        "single-strip kernel bound MAX_M = 2048; larger values enable the "
+        "strips slab path for titin-class queries and size the slab tail "
+        "accordingly)",
+    )
+    p.add_argument(
         "--db-warm-len", type=int, default=144,
         help="pre-warm the scan programs with a dummy query of this length "
         "(compiled shapes depend on the query length rounded to 8; the "
@@ -401,6 +408,7 @@ def main(argv=None):
             list(iter_database(args.protein_db)), matrix=args.db_matrix,
             gap_penalty=args.db_gap_extend, gap_open=args.db_gap_open,
             batch_size=args.db_batch_size, pad_mult=args.db_pad_mult,
+            max_query_len=args.db_max_query_len or None,
         )
         # Warm scan: pays the per-shape program loads before clients
         # (shapes key on the query length rounded to 8 — warm with the

@@ -167,18 +167,27 @@ def main(argv=None):
     from ..ops.wavefront_pallas import (
         LANE,
         MAX_M,
+        STRIP_S,
         PallasEngine,
         score_db_slab_group_jit,
     )
 
-    # The resident gate must hold for EVERY query: the slab path runs the
-    # non-strip profile kernel, whose validated envelope is M <= MAX_M, and
-    # multi-query scans share the one slab (a later over-long query would
-    # otherwise be pushed through the kernel outside its envelope).
+    # The resident gate must hold for EVERY query (multi-query scans share
+    # the one slab). Queries up to MAX_M run the single-strip profile
+    # kernel; LONGER (titin-class) queries now dispatch the strip kernels
+    # over the same resident slab (score_db_slab_strips_jit) instead of
+    # falling back to the per-batch-upload loop — the only remaining bound
+    # is the strip kernels' int16-pair boundary-row envelope.
+    if args.matrix != "uniform":
+        _best_sub = int(np.asarray(cfg.matrix).max())
+        _max_q_pad = max(
+            _round_up(max(len(to_bytes(q)), STRIP_S), STRIP_S)
+            for _, q in queries
+        )
     resident = (
         isinstance(engine, PallasEngine)
         and args.matrix != "uniform"
-        and max(len(to_bytes(q)) for _, q in queries) <= MAX_M
+        and max(_best_sub, 1) * _max_q_pad < 2**30
     )
     if resident:
         import jax
@@ -186,13 +195,22 @@ def main(argv=None):
         plut, elut = engine._lut()
         plut_np = np.asarray(plut)
         elut_np = np.asarray(elut)
+
+        def _pad_q(nq):
+            # Strip kernels need M to be a multiple of the strip height
+            # (STRIP_S; STRIP_S_PA = 128 divides it); the single-strip
+            # kernel needs a multiple of 8.
+            if nq > MAX_M:
+                return _round_up(max(nq, STRIP_S), STRIP_S)
+            return _round_up(nq, 8)
+
         # Slab tail sizing uses the LONGEST query; each query's packed
         # profile is built per scan below (tiny — the slab is the shared,
         # expensive part).
-        Mq = max(_round_up(len(to_bytes(q)), 8) for _, q in queries)
+        Mq = max(_pad_q(len(to_bytes(q))) for _, q in queries)
 
         def build_pprof(qb_):
-            Mq_ = _round_up(len(qb_), 8)
+            Mq_ = _pad_q(len(qb_))
             qcol = np.full(Mq_, 1, np.uint8)  # X_PAD
             qcol[: len(qb_)] = qb_
             return jax.device_put(np.ascontiguousarray(np.broadcast_to(
@@ -343,6 +361,7 @@ def main(argv=None):
                     k=k, N=N, worst=worst_i, best_sub=best_i, gap=gap_i,
                     gopen=gopen_i, interpret=engine.interpret,
                     ncodes=len(cfg.alphabet) + 1,
+                    strips=len(qb) > MAX_M,
                 )
                 batches = [
                     order[(g0 + g) * B : (g0 + g + 1) * B] for g in range(k)

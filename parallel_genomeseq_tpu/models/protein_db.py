@@ -117,8 +117,11 @@ class ResidentProteinDB:
         self.engine = PallasEngine(self.cfg)
         self.entries = entries
         self.B = batch_size
-        self.max_query_len = min(max_query_len or MAX_M, MAX_M)
-        self._Mq = _round_up(self.max_query_len, 8)
+        # Queries beyond MAX_M dispatch the strip kernels over the same
+        # resident slab (score_db_slab_strips_jit); max_query_len > MAX_M
+        # just sizes the slab tail accordingly.
+        self.max_query_len = max_query_len or MAX_M
+        self._Mq = self._pad_q(self.max_query_len)
         plut, elut = self.engine._lut()
         self._plut_np = np.asarray(plut)
         elut_np = np.asarray(elut)
@@ -145,6 +148,17 @@ class ResidentProteinDB:
         self._verified = bool(self.engine.interpret)
         self.scans_served = 0
 
+    @staticmethod
+    def _pad_q(nq: int) -> int:
+        """Padded query length: multiple of the strip height for
+        titin-class queries (STRIP_S; STRIP_S_PA = 128 divides it),
+        multiple of 8 for single-strip ones."""
+        from ..ops.wavefront_pallas import MAX_M, STRIP_S
+
+        if nq > MAX_M:
+            return _round_up(max(nq, STRIP_S), STRIP_S)
+        return _round_up(nq, 8)
+
     def scan_scores(self, query: str):
         """Score every entry: returns (scores, pos_end) int32 arrays in
         ENTRY order, plus the scan wall time."""
@@ -152,6 +166,7 @@ class ResidentProteinDB:
 
         from ..ops.wavefront_pallas import (
             LANE,
+            MAX_M,
             score_db_slab_group_jit,
         )
 
@@ -161,7 +176,7 @@ class ResidentProteinDB:
                 f"query {len(qb)}aa exceeds this DB's max_query_len "
                 f"{self.max_query_len}"
             )
-        Mq = _round_up(len(qb), 8)
+        Mq = self._pad_q(len(qb))
         qcol = np.full(Mq, 1, np.uint8)  # X_PAD
         qcol[: len(qb)] = qb
         pprof = jax.device_put(np.ascontiguousarray(np.broadcast_to(
@@ -178,6 +193,7 @@ class ResidentProteinDB:
                 gopen=int(self.cfg.gap_open),
                 interpret=self.engine.interpret,
                 ncodes=len(self.cfg.alphabet) + 1,
+                strips=len(qb) > MAX_M,
             ))
         fetched = jax.device_get([(o[0], o[2]) for o in outs])
         scores = np.zeros(len(self.entries), np.int32)

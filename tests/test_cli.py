@@ -362,11 +362,14 @@ def test_solve_uniprot_multi_query_non_resident(tmp_path, rng, capsys):
     capsys.readouterr()
 
 
-def test_solve_uniprot_multi_query_long_query_gate(tmp_path, rng, capsys):
-    """A multi-query scan where a LATER query exceeds MAX_M must not be sent
-    through the resident non-strip kernel outside its envelope (round-4 bug:
-    the gate looked only at the first query). The whole run falls back to
-    the non-resident path and still completes with correct outputs."""
+def test_solve_uniprot_multi_query_long_query_resident(tmp_path, rng, capsys):
+    """A multi-query scan mixing a short and a TITIN-CLASS (> MAX_M) query
+    stays fully RESIDENT: the short query dispatches the single-strip slab
+    kernel, the long one the strips slab kernel
+    (score_db_slab_strips_jit), over one shared slab — and both outputs
+    are byte-identical to single-query scan-engine runs. (Round-4 bugs
+    covered: the gate looked only at the first query, and long queries
+    fell back to the per-batch-upload loop entirely.)"""
     from parallel_genomeseq_tpu.cli.solve_uniprot import main
     from parallel_genomeseq_tpu.ops.wavefront_pallas import MAX_M
 
@@ -377,23 +380,26 @@ def test_solve_uniprot_multi_query_long_query_gate(tmp_path, rng, capsys):
     qlong.write_text(">qlong\n" + "".join(rng.choice(alpha, MAX_M + 8)) + "\n")
     db = tmp_path / "db.fasta"
     with open(db, "w") as f:
-        for k in range(3):
-            f.write(f">p{k}\n" + "".join(rng.choice(alpha, 40)) + "\n")
+        for k in range(7):
+            f.write(f">p{k}\n" + "".join(rng.choice(alpha, 30 + 11 * k)) + "\n")
     multi_out = tmp_path / "lg_multi.csv"
     assert main([
         "--platform", "cpu", "--engine", "pallas", "--database", str(db),
         "--batch-size", "4", "--pad-mult", "64", "--top", "1",
+        "--traceback-top", "0",
         "--query", f"{qa},{qlong}", "--output", str(multi_out)]) == 0
     got = capsys.readouterr().out
-    assert "resident DB:" not in got  # gate held: non-resident path used
-    # Output of the short query still matches its single-query (scan) run.
-    out_a = tmp_path / "lg_single_a.csv"
-    assert main([
-        "--platform", "cpu", "--engine", "scan", "--database", str(db),
-        "--batch-size", "4", "--pad-mult", "64", "--top", "1",
-        "--query", str(qa), "--output", str(out_a)]) == 0
-    capsys.readouterr()
-    assert (tmp_path / "lg_multi.csv.qa").read_text() == out_a.read_text()
+    assert "resident DB:" in got  # the slab path served BOTH queries
+    for qf, qn in ((qa, "qa"), (qlong, "qlong")):
+        out_s = tmp_path / f"lg_single_{qn}.csv"
+        assert main([
+            "--platform", "cpu", "--engine", "scan", "--database", str(db),
+            "--batch-size", "4", "--pad-mult", "64", "--top", "1",
+            "--traceback-top", "0",
+            "--query", str(qf), "--output", str(out_s)]) == 0
+        capsys.readouterr()
+        assert (tmp_path / f"lg_multi.csv.{qn}").read_text() == \
+            out_s.read_text(), qn
 
 
 def test_solve_uniprot_traceback_all(tmp_path, rng, capsys):
