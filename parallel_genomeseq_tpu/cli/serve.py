@@ -326,7 +326,7 @@ def main(argv=None):
     p.add_argument("--db-gap-open", type=float, default=10.0)
     p.add_argument("--db-gap-extend", type=float, default=2.0)
     p.add_argument("--db-batch-size", type=int, default=8192)
-    p.add_argument("--db-pad-mult", type=int, default=512)
+    p.add_argument("--db-pad-mult", type=int, default=128)
     p.add_argument(
         "--db-max-query-len", type=int, default=0,
         help="accept scan_db queries up to this length (0 = the "
