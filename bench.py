@@ -86,7 +86,7 @@ def build_protein_inputs(B, db_len=360, seed=11):
     P02232 query against SwissProt-length protein entries, one entry per
     batch lane. db_len=360 ~ the SwissProt mean entry length."""
     from parallel_genomeseq_tpu.seqio.native_io import read_fasta
-    from parallel_genomeseq_tpu.utils.encoding import Y_PAD, batch_pad, to_bytes
+    from parallel_genomeseq_tpu.utils.encoding import to_bytes
 
     query = to_bytes(read_fasta("/root/reference/data/query/P02232.fasta"))
     rng = np.random.default_rng(seed)
@@ -223,6 +223,11 @@ def uniprot_e2e(db_path="data/uniprot_syn/database.fasta", scans=3):
     the cold cost is paid once, not re-paid (VERDICT r4 item 1).
     Returns (gcups, proteins_per_s, n_entries, wall_cold, wall_warm)."""
     if not os.path.exists(db_path):
+        # Regenerating the 561k-entry DB costs minutes; tell the log so a
+        # driver-timeout post-mortem can see where the time went.
+        print(f"# uniprot_e2e: {db_path} missing — generating the "
+              "SwissProt-scale synthetic DB (one-time, minutes)",
+              file=sys.stderr, flush=True)
         from parallel_genomeseq_tpu.seqio.datagen import gen_protein_db
         from parallel_genomeseq_tpu.seqio.native_io import read_fasta
 

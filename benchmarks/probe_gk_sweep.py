@@ -17,7 +17,6 @@ import sys
 import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
-import numpy as np
 
 
 def main():

@@ -32,7 +32,6 @@ reformulation is a measured dead end.
 Reference hook: the reference's fast path cannot do matrix scoring at
 all (src/aligner/similaritymatrix.cpp:389-392).
 """
-import functools
 import pathlib
 import sys
 import time

@@ -101,6 +101,7 @@ class AlignServer:
         # the serving shape of the UNIPROT workload (scan CLAUDE.md: ~1 s
         # per 144-aa query against 561k entries on one chip, warm).
         self.protein_db = protein_db
+        self._protein_bat = None  # lazy: scan_db traceback aligner
         if warm_read_len and ref:
             self.warmup(warm_read_len)
 
@@ -205,9 +206,9 @@ class AlignServer:
                     # output, mpi_sw_solve_uniprot.cpp:151-186) — identical
                     # rows/columns to solve_uniprot with traceback disabled,
                     # so whole-result consumers can point at either.
-                    import csv as csv_mod
-
                     import numpy as np
+
+                    from ..models.protein_db import write_uniprot_csv
 
                     db = self.protein_db
                     scores, pos, wall = db.scan_scores(q)
@@ -221,15 +222,7 @@ class AlignServer:
                          int(pos[k]))
                         for k in ranked
                     ]
-                    os.makedirs(os.path.dirname(out_path) or ".",
-                                exist_ok=True)
-                    with open(out_path, "w", newline="") as f:
-                        w = csv_mod.writer(f)
-                        w.writerow(["name", "len", "score", "pos_end",
-                                    "pos_pred", "consensus_x", "consensus_y"])
-                        for k, (name, seq) in enumerate(db.entries):
-                            w.writerow([name, len(seq), int(scores[k]),
-                                        int(pos[k]), "", "", ""])
+                    write_uniprot_csv(out_path, db.entries, scores, pos)
                 else:
                     hits, wall, gcups = self.protein_db.scan(
                         q, top=int(req.get("top", 10))
@@ -246,6 +239,29 @@ class AlignServer:
                     for n, l, sc, pe in hits
                 ],
             }
+            if bool(req.get("traceback", False)) and hits:
+                # Serve the CLI's --traceback-top columns too: re-run the
+                # top-K winners through the full aligner in the reference
+                # writer's x=entry/y=query roles (pos_pred = position in
+                # the query, consensus strings).
+                from ..models.swaligner import BatchSWAligner
+
+                if self._protein_bat is None:
+                    self._protein_bat = BatchSWAligner(self.protein_db.cfg)
+                by_name = dict(self.protein_db.entries)
+                res_tb = self._protein_bat.align_batch(
+                    [by_name[h["name"]] for h in reply["hits"]],
+                    [q] * len(reply["hits"]), traceback=True,
+                )
+                for h, r in zip(reply["hits"], res_tb):
+                    if int(r.score) != h["score"]:
+                        return {"ok": False, "error":
+                                f"traceback rescore mismatch on "
+                                f"{h['name']}: {int(r.score)} != "
+                                f"{h['score']} (suspected miscompile)"}
+                    h["pos_pred"] = r.pos
+                    h["consensus_x"] = r.consensus_x
+                    h["consensus_y"] = r.consensus_y
             if out_path:
                 reply["output"] = out_path
                 reply["n_rows"] = len(self.protein_db.entries)
@@ -376,9 +392,13 @@ def main(argv=None):
             return 0
         if args.client == "scan_db":
             q = args.query
-            if q and os.path.isfile(q):
+            looks_like_path = "/" in q or q.lower().endswith(
+                (".fa", ".fasta", ".faa"))
+            if q and (os.path.isfile(q) or looks_like_path):
                 from ..seqio.native_io import read_fasta
 
+                # A mistyped path must error here, not be silently scored
+                # as a literal residue string.
                 q = read_fasta(q)
             req_obj = {"op": "scan_db", "query": q}
             if args.output:

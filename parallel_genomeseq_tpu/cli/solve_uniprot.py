@@ -196,13 +196,9 @@ def main(argv=None):
         plut_np = np.asarray(plut)
         elut_np = np.asarray(elut)
 
-        def _pad_q(nq):
-            # Strip kernels need M to be a multiple of the strip height
-            # (STRIP_S; STRIP_S_PA = 128 divides it); the single-strip
-            # kernel needs a multiple of 8.
-            if nq > MAX_M:
-                return _round_up(max(nq, STRIP_S), STRIP_S)
-            return _round_up(nq, 8)
+        from ..models.protein_db import ResidentProteinDB
+
+        _pad_q = ResidentProteinDB._pad_q
 
         # Slab tail sizing uses the LONGEST query; each query's packed
         # profile is built per scan below (tiny — the slab is the shared,
@@ -445,13 +441,12 @@ def main(argv=None):
                 # the score-only rows rather than failing the whole run.
                 print(f"traceback skipped: {e}")
 
-        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-        with open(out_path, "w", newline="") as f:
-            w = csv.writer(f)
-            w.writerow(["name", "len", "score", "pos_end", "pos_pred", "consensus_x", "consensus_y"])
-            for k, ((name, seq), (score, pos)) in enumerate(zip(entries, results)):
-                pp, cx, cy = tb_rows.get(k, ("", "", ""))
-                w.writerow([name, len(seq), score, pos, pp, cx, cy])
+        from ..models.protein_db import write_uniprot_csv
+
+        write_uniprot_csv(
+            out_path, entries, [r[0] for r in results],
+            [r[1] for r in results], tb_rows,
+        )
 
         # t_total == 0 when --resume restored every protein (nothing scored).
         gcups = cells / t_total / 1e9 if t_total else 0.0

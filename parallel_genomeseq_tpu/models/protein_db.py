@@ -30,6 +30,29 @@ def _round_up(v, mult):
 
 GK = 8  # max batches per scan-group dispatch
 
+# The reference writer's per-row schema (mpi_sw_solve_uniprot.cpp:151-186):
+# one row per database entry, traceback columns empty unless walked.
+UNIPROT_CSV_HEADER = ["name", "len", "score", "pos_end", "pos_pred",
+                      "consensus_x", "consensus_y"]
+
+
+def write_uniprot_csv(path, entries, scores, pos, tb_rows=None):
+    """Write the UNIPROT all-rows result CSV — the ONE writer shared by
+    cli/solve_uniprot.py and the serve scan_db whole-result mode, so the
+    'byte-identical outputs' contract between them cannot drift."""
+    import csv
+    import os
+
+    tb_rows = tb_rows or {}
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(UNIPROT_CSV_HEADER)
+        for k, (name, seq) in enumerate(entries):
+            pp, cx, cy = tb_rows.get(k, ("", "", ""))
+            w.writerow([name, len(seq), int(scores[k]), int(pos[k]),
+                        pp, cx, cy])
+
 
 def pack_slab(seqs: Sequence[np.ndarray], order: Sequence[int], B: int,
               pad_mult: int, elut_np: np.ndarray, tail_rows: int):
@@ -149,7 +172,13 @@ class ResidentProteinDB:
         self.slab_mb = slab.nbytes / 1e6
         Smat = np.asarray(self.cfg.matrix).astype(np.int32)
         self._worst, self._best = int(Smat.min()), int(Smat.max())
-        self._verified = bool(self.engine.interpret)
+        # First-scan oracle gate is PER KERNEL FAMILY: the single-strip
+        # slab kernel and the strips slab kernel are different compiled
+        # programs, and on this rig each program can independently
+        # miscompile — a short-query warm scan must not disarm the gate
+        # for the first titin-class scan (or vice versa).
+        self._verified = set() if not self.engine.interpret else {
+            "single", "strips"}
         self.scans_served = 0
 
     @staticmethod
@@ -208,7 +237,8 @@ class ResidentProteinDB:
                 scores[idxs] = sc[g][: len(idxs)]
                 pos[idxs] = jj[g][: len(idxs)]
         wall = time.perf_counter() - t0
-        if not self._verified and self.entries:
+        family = "strips" if len(qb) > MAX_M else "single"
+        if family not in self._verified and self.entries:
             from ..ops.oracle import sw_affine_score_fast, sw_score_fast
 
             fast = (sw_affine_score_fast if self.cfg.is_affine
@@ -223,7 +253,7 @@ class ResidentProteinDB:
                         "miscompile — restart the process or clear the JAX "
                         "compilation cache"
                     )
-            self._verified = True
+            self._verified.add(family)
         self.scans_served += 1
         return scores, pos, wall
 

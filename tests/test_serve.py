@@ -118,6 +118,24 @@ def test_serve_protein_db_scan(tmp_path, rng):
         assert [h["score"] for h in rep["hits"]] == want
         assert rep["hits"][0]["name"] == "p4"  # the planted winner
 
+        # traceback=true adds the CLI's --traceback-top columns to the
+        # inline hits (pos_pred in the QUERY, consensus strings), matching
+        # a direct BatchSWAligner run in the writer's x=entry/y=query roles.
+        rep = request(sock, {"op": "scan_db", "query": query, "top": 2,
+                             "traceback": True})
+        assert rep["ok"], rep
+        from parallel_genomeseq_tpu.models.swaligner import BatchSWAligner
+
+        bat = BatchSWAligner(cfg)
+        by_name = {f"p{k}": sq for k, sq in enumerate(seqs)}
+        for h in rep["hits"]:
+            w = bat.align_batch([by_name[h["name"]]], [query],
+                                traceback=True)[0]
+            assert h["pos_pred"] == w.pos
+            assert h["consensus_x"] == w.consensus_x
+            assert h["consensus_y"] == w.consensus_y
+            assert h["score"] == int(w.score)
+
         # Whole-result serving: "output" makes the server write EVERY row's
         # CSV server-side (the reference writer's all-rows schema); the file
         # must be byte-identical to a solve_uniprot run with the same
