@@ -275,6 +275,7 @@ def test_score_repeated_matches_score_prepared(rng):
 
     for cfg in (
         ScoringConfig(),
+        ScoringConfig(gap_penalty=1.0, gap_open=4.0),
         blosum_config("blosum50", gap_penalty=2.0),
         blosum_config("blosum50", gap_penalty=2.0, gap_open=10.0),
     ):
