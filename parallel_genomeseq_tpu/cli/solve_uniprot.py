@@ -417,17 +417,44 @@ def main(argv=None):
 
             bat = BatchSWAligner(cfg, pad_m=128)
             TB_B = min(B, 1024)
+            # Pre-chunk: lanes per batch capped by TB_B AND by a ~1.5 GB
+            # move-tensor budget for the batch's LONGEST entry, so
+            # mid-length batches stay viable on whichever path serves them
+            # (fused Pallas profile-moves for M <= its VMEM envelope, scan
+            # emit_moves beyond, checkpointed strips past MAX_M) instead
+            # of one oversized batch aborting the whole walk.
+            MOVES_BUDGET = 3 * 2**29  # 1.5 GB of (D, M, B) uint8 moves
+            Nq = _round_up(len(qb), 128)
+            tb_chunks = []
+            s0 = 0
+            while s0 < len(tb_idx):
+                take = min(TB_B, len(tb_idx) - s0)
+                while take > 1:
+                    # max over the chunk (tb_idx is length-sorted in
+                    # --traceback-all mode but rank-ordered for top-K).
+                    Mb = _round_up(max(
+                        len(to_bytes(entries[k][1]))
+                        for k in tb_idx[s0 : s0 + take]
+                    ), 128)
+                    if (Mb + Nq) * Mb * take <= MOVES_BUDGET:
+                        break
+                    take = max(
+                        1,
+                        min(take - 1, MOVES_BUDGET // ((Mb + Nq) * Mb)),
+                    )
+                tb_chunks.append(tb_idx[s0 : s0 + take])
+                s0 += take
 
             def tb_batches():
-                for s0 in range(0, len(tb_idx), TB_B):
-                    yield [entries[k][1] for k in tb_idx[s0 : s0 + TB_B]]
+                for chunk in tb_chunks:
+                    yield [entries[k][1] for k in chunk]
 
             try:
-                s0 = 0
-                for res_tb in bat.align_stream(
-                    tb_batches(), [query], traceback=True
+                for chunk, res_tb in zip(
+                    tb_chunks,
+                    bat.align_stream(tb_batches(), [query], traceback=True),
                 ):
-                    for k, r in zip(tb_idx[s0 : s0 + TB_B], res_tb):
+                    for k, r in zip(chunk, res_tb):
                         if int(r.score) != results[k][0]:
                             raise RuntimeError(
                                 f"traceback rescore mismatch on "
@@ -435,10 +462,9 @@ def main(argv=None):
                                 f"{int(r.score)} != {results[k][0]}"
                             )
                         tb_rows[k] = (r.pos, r.consensus_x, r.consensus_y)
-                    s0 += TB_B
             except ValueError as e:
-                # e.g. a titin-class winner whose move tensor cannot fit; keep
-                # the score-only rows rather than failing the whole run.
+                # e.g. a shape whose move tensor cannot fit even at 1 lane;
+                # keep the score-only rows rather than failing the whole run.
                 print(f"traceback skipped: {e}")
 
         from ..models.protein_db import write_uniprot_csv

@@ -150,14 +150,22 @@ class BatchSWAligner:
         if traceback:
             from ..ops.wavefront_pallas import MAX_M, PallasEngine
 
+            fused = None
             if (
                 isinstance(self.scorer, PallasEngine)
-                and self.cfg.is_uniform
                 and not self.cfg.is_affine  # affine walk needs H/E/F codes
                 and M <= MAX_M
             ):
-                # Fused Pallas pass: score + argmax + move codes, no scan.
-                resp = self.scorer.score_batch_moves(xs, ys, m, n)
+                # Fused Pallas pass: score + argmax + move codes, no scan —
+                # uniform or substitution-matrix (packed-profile) scoring.
+                try:
+                    fused = self.scorer.score_batch_moves(xs, ys, m, n)
+                except EnvelopeError:
+                    # e.g. the profile moves kernel's VMEM envelope at
+                    # large M: fall through to the scan emit_moves path.
+                    fused = None
+            if fused is not None:
+                resp = fused
                 Bp = resp["moves"].shape[2]
                 Mp = resp["moves"].shape[1]
                 xs_w = np.full((Bp, Mp), X_PAD, np.uint8)

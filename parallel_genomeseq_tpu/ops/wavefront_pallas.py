@@ -627,6 +627,100 @@ def _call_uniform_moves(xs, ys, *, match, mismatch, gap, interpret):
     return best, bestd, moves
 
 
+def _kernel_profile_moves(pprof_ref, y_ref, best_ref, bestd_ref, moves_ref,
+                          h1_s, s2_s, best_s, bestd_s, ywin_s,
+                          *, worst: int, gap: int, ncodes: int = PROF_CODES):
+    """Substitution-matrix kernel that also emits per-cell traceback
+    move/stop codes — the packed-profile sibling of _kernel_uniform_moves
+    (same 3-bit scan_dp encoding; the greedy-walk code priorities are
+    scoring-independent), so BLOSUM traceback runs fused on Pallas instead
+    of the scan engine's emit_moves sweep (the --traceback-all hot path)."""
+    sow, (M, B) = _packed_sow(pprof_ref, worst, 0, ncodes)
+    o = pl.program_id(1)
+    zrow = jnp.zeros((1, B), jnp.int32)
+
+    @pl.when(o == 0)
+    def _():
+        z = jnp.zeros((M, B), jnp.int32)
+        h1_s[:] = z
+        s2_s[:] = z
+        best_s[:] = z
+        bestd_s[:] = z
+        ywin_s[:] = z
+
+    h1, s2 = h1_s[:], s2_s[:]
+    best, bestd = best_s[:], bestd_s[:]
+    ywin = ywin_s[:]
+    base = pl.multiple_of(o * UNROLL, UNROLL)
+    blk = y_ref[pl.ds(base, UNROLL), :].astype(jnp.int32)
+    for k in range(UNROLL):
+        d = o * UNROLL + k
+        yc = blk[k : k + 1, :]
+        ywin = _shift_down(ywin, yc)
+        sc = sow(ywin)
+        s1 = _shift_down(h1, zrow)
+        hd = jnp.maximum(
+            jnp.maximum(s2 + sc, jnp.maximum(h1, s1) - gap), 0
+        )
+        n1, n2, n3 = s2, h1, s1  # nw, west, north
+        nw_mv = (n1 >= n2) & (n1 >= n3)
+        w_mv = (n2 >= n1) & (n2 >= n3)
+        mv = jnp.where(nw_mv, 0, jnp.where(w_mv, 1, 2))
+        stop = (n1 == 0) | (n2 == 0) | (n3 == 0)
+        mv = mv + jnp.where(stop, 4, 0)
+        moves_ref[k] = mv.astype(jnp.uint8)
+        upd = hd > best
+        best = jnp.where(upd, hd, best)
+        bestd = jnp.where(upd, d, bestd)
+        s2 = s1
+        h1 = hd
+    h1_s[:] = h1
+    s2_s[:] = s2
+    best_s[:] = best
+    bestd_s[:] = bestd
+    ywin_s[:] = ywin
+    best_ref[:] = best
+    bestd_ref[:] = bestd
+
+
+@functools.partial(
+    jax.jit, static_argnames=("worst", "gap", "interpret", "ncodes")
+)
+def _call_profile_moves(pprof, ycodes, *, worst, gap, interpret,
+                        ncodes=PROF_CODES):
+    W, M, B = pprof.shape
+    Ny = ycodes.shape[0]
+    nblk = min((M + Ny + UNROLL - 2) // UNROLL, Ny // UNROLL)
+    kernel = functools.partial(
+        _kernel_profile_moves, worst=worst, gap=gap, ncodes=ncodes
+    )
+    best, bestd, moves = pl.pallas_call(
+        kernel,
+        grid=(B // LANE, nblk),
+        in_specs=[
+            pl.BlockSpec((W, M, LANE), lambda b, o: (0, 0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ny, LANE), lambda b, o: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((M, LANE), lambda b, o: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, LANE), lambda b, o: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((UNROLL, M, LANE), lambda b, o: (o, 0, b), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, B), jnp.int32),
+            jax.ShapeDtypeStruct((M, B), jnp.int32),
+            jax.ShapeDtypeStruct((nblk * UNROLL, M, B), jnp.uint8),
+        ],
+        scratch_shapes=[pltpu.VMEM((M, LANE), jnp.int32)] * 5,
+        cost_estimate=pl.CostEstimate(
+            flops=27 * (M + Ny) * M * B, bytes_accessed=(M + Ny) * M * B,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(pprof, ycodes)
+    return best, bestd, moves
+
+
 def _common_specs(M, Ny):
     tail = [
         pl.BlockSpec((Ny, LANE), lambda b: (0, b), memory_space=pltpu.VMEM),
@@ -749,6 +843,10 @@ def _call_profile(pprof, ys, *, worst, best_sub, gap, interpret,
 # ---------------------------------------------------------------------------
 
 STRIP_S = 256  # rows per strip (multiple of 8)
+# Fused profile-moves kernel envelope: Mosaic's scoped-VMEM stack (select
+# tree temporaries x 8 unrolled steps) measured 17.91 MB at M=640 on v5e;
+# M = 512 compiles (verified on hardware).
+PROFILE_MOVES_MAX_M = 512
 STRIP_S_PA = 128  # half-height strips for the VMEM-heavy profile-affine kernel
 STRIP_PADW = (STRIP_S - 2) % 8  # write offset making boundary stores aligned
 INT16_BOUND = 32000
@@ -2286,11 +2384,10 @@ class PallasEngine:
 
     def score_batch_moves(self, x_bm, y_bn, m, n):
         """Score + argmax + per-cell traceback move codes in one kernel pass
-        (uniform scoring, single-strip reads). Returns PADDED arrays —
-        'score'/'i'/'j' of length Bpad and 'moves' (Dpad, Mpad, Bpad) — plus
-        'B0'; pad lanes have i == 0 (inactive for the walk)."""
-        if not self.cfg.is_uniform:
-            raise EnvelopeError("moves kernel supports uniform scoring only")
+        (uniform OR substitution-matrix scoring, linear gaps, single-strip
+        reads). Returns PADDED arrays — 'score'/'i'/'j' of length Bpad and
+        'moves' (Dpad, Mpad, Bpad) — plus 'B0'; pad lanes have i == 0
+        (inactive for the walk)."""
         if self.cfg.is_affine:
             raise EnvelopeError(
                 "moves kernel emits linear-gap greedy codes; affine "
@@ -2301,17 +2398,46 @@ class PallasEngine:
         if x_bm.shape[1] > MAX_M:
             raise EnvelopeError("moves kernel supports single-strip reads only")
         prep = self.prepare(x_bm, y_bn, m, n)
-        best, bestd, moves = _call_uniform_moves(
-            *prep["args"],
-            match=int(self.cfg.match), mismatch=int(self.cfg.mismatch),
-            gap=int(self.cfg.gap_penalty), interpret=self.interpret,
-        )
+        if self.cfg.is_uniform:
+            best, bestd, moves = _call_uniform_moves(
+                *prep["args"],
+                match=int(self.cfg.match), mismatch=int(self.cfg.mismatch),
+                gap=int(self.cfg.gap_penalty), interpret=self.interpret,
+            )
+            path = "moves"
+        else:
+            # Packed-profile moves: BLOSUM traceback fused on Pallas (the
+            # --traceback-all hot path; scan emit_moves is the fallback
+            # for affine-matrix configs and larger M). VMEM envelope:
+            # Mosaic's scoped stack holds the unrolled select-tree
+            # temporaries of all 8 steps — measured 17.91 MB at M=640 on
+            # v5e (> the 16.00 MB scoped limit; compile error names it),
+            # so the envelope is M <= PROFILE_MOVES_MAX_M = 512.
+            M_pad = prep["args"][0].shape[0]
+            if M_pad > PROFILE_MOVES_MAX_M:
+                raise EnvelopeError(
+                    f"profile moves kernel at M={M_pad} exceeds the v5e "
+                    f"scoped-VMEM envelope (M <= {PROFILE_MOVES_MAX_M}); "
+                    "use the scan engine's emit_moves or strip-length "
+                    "traceback"
+                )
+            xs, ys = prep["args"]
+            plut, elut = self._lut()
+            pprof = _profile_gather(jnp.asarray(xs), plut)
+            ycodes = _encode_y(jnp.asarray(ys), elut)
+            S = np.asarray(self.cfg.matrix).astype(np.int32)
+            best, bestd, moves = _call_profile_moves(
+                pprof, ycodes, worst=int(S.min()),
+                gap=int(self.cfg.gap_penalty), interpret=self.interpret,
+                ncodes=self._ncodes(),
+            )
+            path = "profile_moves"
         score, i, j = _reduce_best(best, bestd)
         res = {
             "score": score, "i": i, "j": j, "moves": moves, "B0": prep["B0"],
         }
-        if "moves" not in self._checked:
-            self._verify_first(x_bm, y_bn, m, n, res, need_pos=True, path="moves")
+        if path not in self._checked:
+            self._verify_first(x_bm, y_bn, m, n, res, need_pos=True, path=path)
         return res
 
     def score_batch_strip_moves(self, x_bm, y_bn, m, n, *,

@@ -303,3 +303,39 @@ def test_score_repeated_matches_score_prepared(rng):
                                        jnp.roll(prep["args"][1], k, axis=0)]}
             want += int(np.asarray(eng.score_prepared(prep_k)["score"]).max())
         assert int(np.asarray(eng.score_repeated(prep, 3))) == want
+
+
+def test_profile_moves_kernel_traceback_matches_scan(rng):
+    """The fused packed-profile Pallas score+moves pass (BLOSUM traceback
+    on the fast path — the --traceback-all hot kernel) must produce
+    identical traceback results (pos + consensus) to the scan emit_moves
+    path, including indel lanes and an all-mismatch lane."""
+    from parallel_genomeseq_tpu.models.swaligner import BatchSWAligner
+    from parallel_genomeseq_tpu.ops.substitution import blosum_config
+
+    cfg = blosum_config("blosum50", gap_penalty=12.0)
+    ref = random_protein(rng, 300)
+    alpha = list("ARNDCQEGHILKMFPSTWYV")
+    reads = []
+    for nsub, nind in ((0, 0), (4, 0), (2, 2)):
+        s = int(rng.integers(0, 220))
+        read = list(ref[s : s + 60])
+        for _ in range(nsub):
+            read[int(rng.integers(0, len(read)))] = rng.choice(alpha)
+        for _ in range(nind):
+            p = int(rng.integers(1, len(read) - 1))
+            if rng.integers(0, 2):
+                read.insert(p, rng.choice(alpha))
+            else:
+                del read[p]
+        reads.append("".join(read))
+    reads.append("".join(rng.choice(alpha, 60)))  # background lane
+    scan_al = BatchSWAligner(cfg, score_engine="scan")
+    pal_al = BatchSWAligner(cfg, score_engine="pallas")
+    want = scan_al.align_batch(reads, [ref])
+    got = pal_al.align_batch(reads, [ref])
+    for k, (w, g) in enumerate(zip(want, got)):
+        assert g.score == w.score, k
+        assert g.pos == w.pos, k
+        assert g.consensus_x == w.consensus_x, k
+        assert g.consensus_y == w.consensus_y, k
