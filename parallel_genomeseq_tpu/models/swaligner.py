@@ -151,18 +151,16 @@ class BatchSWAligner:
             from ..ops.wavefront_pallas import MAX_M, PallasEngine
 
             fused = None
-            if (
-                isinstance(self.scorer, PallasEngine)
-                and not self.cfg.is_affine  # affine walk needs H/E/F codes
-                and M <= MAX_M
-            ):
+            if isinstance(self.scorer, PallasEngine) and M <= MAX_M:
                 # Fused Pallas pass: score + argmax + move codes, no scan —
-                # uniform or substitution-matrix (packed-profile) scoring.
+                # all four scoring families (uniform/profile x linear/
+                # affine; the affine kernels emit scan_dp's H/E/F state
+                # codes, which walk_moves_affine consumes either way).
                 try:
                     fused = self.scorer.score_batch_moves(xs, ys, m, n)
                 except EnvelopeError:
-                    # e.g. the profile moves kernel's VMEM envelope at
-                    # large M: fall through to the scan emit_moves path.
+                    # e.g. a moves kernel's VMEM envelope at large M:
+                    # fall through to the scan emit_moves path.
                     fused = None
             if fused is not None:
                 resp = fused

@@ -627,6 +627,191 @@ def _call_uniform_moves(xs, ys, *, match, mismatch, gap, interpret):
     return best, bestd, moves
 
 
+def _affine_moves_body(score_of, y_ref, best_ref, bestd_ref, moves_ref,
+                       h1_s, s2_s, e1_s, f1_s, best_s, bestd_s, ywin_s,
+                       *, M: int, B: int, gap: int, gopen: int):
+    """Shared body of the single-strip affine (Gotoh) score+moves kernels:
+    the affine recurrence of _kernel_uniform_affine plus scan_dp's
+    H/E/F-state move-code emission (same codes the strip replay kernels
+    emit; walk_moves_affine consumes them). Row 0's incoming H is 0 and
+    its incoming F is the 'no run' init (anything <= -gopen makes the
+    open branch win exactly — see _strips_body)."""
+    from .scan_dp import E_EXT_BIT, F_EXT_BIT, H_E, H_F, H_NW, H_ZERO
+
+    o = pl.program_id(1)
+    gp = np.asarray(gap, jnp.int32)
+    go = np.asarray(gopen, jnp.int32)
+    zrow = jnp.zeros((1, B), jnp.int32)
+    frow0 = jnp.full((1, B), -(gopen + gap + 1), jnp.int32)
+
+    @pl.when(o == 0)
+    def _():
+        z = jnp.zeros((M, B), jnp.int32)
+        h1_s[:] = z
+        s2_s[:] = z
+        e1_s[:] = z
+        f1_s[:] = z
+        best_s[:] = z
+        bestd_s[:] = z
+        ywin_s[:] = z
+
+    h1, s2, e1, f1 = h1_s[:], s2_s[:], e1_s[:], f1_s[:]
+    best, bestd = best_s[:], bestd_s[:]
+    ywin = ywin_s[:]
+    base = pl.multiple_of(o * UNROLL, UNROLL)
+    blk = y_ref[pl.ds(base, UNROLL), :].astype(jnp.int32)
+    for k in range(UNROLL):
+        d = o * UNROLL + k
+        yc = blk[k : k + 1, :]
+        ywin = _shift_down(ywin, yc)
+        sc = score_of(ywin)
+        s1 = _shift_down(h1, zrow)
+        f1s = _shift_down(f1, frow0)
+        e_open = h1 - go
+        f_open = s1 - go
+        e_d = jnp.maximum(e_open, e1) - gp
+        f_d = jnp.maximum(f_open, f1s) - gp
+        diag = s2 + sc
+        hd = jnp.maximum(jnp.maximum(diag, e_d), jnp.maximum(f_d, 0))
+        # Same code priority as scan_dp._wavefront_affine: ZERO > NW > E >
+        # F; codes built in int32, cast once (v5e sub-word relayout gotcha).
+        h_src = jnp.where(
+            hd == 0,
+            int(H_ZERO),
+            jnp.where(hd == diag, int(H_NW),
+                      jnp.where(hd == e_d, int(H_E), int(H_F))),
+        )
+        e_ext = e1 >= e_open
+        f_ext = f1s >= f_open
+        mv = (
+            h_src
+            + jnp.where(e_ext, int(E_EXT_BIT), 0)
+            + jnp.where(f_ext, int(F_EXT_BIT), 0)
+        )
+        moves_ref[k] = mv.astype(jnp.uint8)
+        upd = hd > best
+        best = jnp.where(upd, hd, best)
+        bestd = jnp.where(upd, d, bestd)
+        s2 = s1
+        e1 = e_d
+        f1 = f_d
+        h1 = hd
+    h1_s[:] = h1
+    s2_s[:] = s2
+    e1_s[:] = e1
+    f1_s[:] = f1
+    best_s[:] = best
+    bestd_s[:] = bestd
+    ywin_s[:] = ywin
+    best_ref[:] = best
+    bestd_ref[:] = bestd
+
+
+def _kernel_uniform_affine_moves(x_ref, y_ref, best_ref, bestd_ref,
+                                 moves_ref, h1_s, s2_s, e1_s, f1_s, best_s,
+                                 bestd_s, ywin_s, *, match: int,
+                                 mismatch: int, gap: int, gopen: int):
+    M, B = x_ref.shape
+    x = x_ref[:].astype(jnp.int32)
+    _affine_moves_body(
+        lambda ywin: jnp.where(x == ywin, match, mismatch),
+        y_ref, best_ref, bestd_ref, moves_ref,
+        h1_s, s2_s, e1_s, f1_s, best_s, bestd_s, ywin_s,
+        M=M, B=B, gap=gap, gopen=gopen,
+    )
+
+
+def _kernel_profile_affine_moves(pprof_ref, y_ref, best_ref, bestd_ref,
+                                 moves_ref, h1_s, s2_s, e1_s, f1_s, best_s,
+                                 bestd_s, ywin_s, *, worst: int, gap: int,
+                                 gopen: int, ncodes: int = PROF_CODES):
+    sow, (M, B) = _packed_sow(pprof_ref, worst, 0, ncodes)
+    _affine_moves_body(
+        sow, y_ref, best_ref, bestd_ref, moves_ref,
+        h1_s, s2_s, e1_s, f1_s, best_s, bestd_s, ywin_s,
+        M=M, B=B, gap=gap, gopen=gopen,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("match", "mismatch", "gap", "gopen", "interpret"),
+)
+def _call_uniform_affine_moves(xs, ys, *, match, mismatch, gap, gopen,
+                               interpret):
+    M, B = xs.shape
+    Ny = ys.shape[0]
+    nblk = min((M + Ny + UNROLL - 2) // UNROLL, Ny // UNROLL)
+    kernel = functools.partial(
+        _kernel_uniform_affine_moves, match=match, mismatch=mismatch,
+        gap=gap, gopen=gopen,
+    )
+    best, bestd, moves = pl.pallas_call(
+        kernel,
+        grid=(B // LANE, nblk),
+        in_specs=[
+            pl.BlockSpec((M, LANE), lambda b, o: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ny, LANE), lambda b, o: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((M, LANE), lambda b, o: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, LANE), lambda b, o: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((UNROLL, M, LANE), lambda b, o: (o, 0, b), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, B), jnp.int32),
+            jax.ShapeDtypeStruct((M, B), jnp.int32),
+            jax.ShapeDtypeStruct((nblk * UNROLL, M, B), jnp.uint8),
+        ],
+        scratch_shapes=[pltpu.VMEM((M, LANE), jnp.int32)] * 7,
+        cost_estimate=pl.CostEstimate(
+            flops=26 * (M + Ny) * M * B, bytes_accessed=(M + Ny) * M * B,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xs, ys)
+    return best, bestd, moves
+
+
+@functools.partial(
+    jax.jit, static_argnames=("worst", "gap", "gopen", "interpret", "ncodes")
+)
+def _call_profile_affine_moves(pprof, ycodes, *, worst, gap, gopen,
+                               interpret, ncodes=PROF_CODES):
+    W, M, B = pprof.shape
+    Ny = ycodes.shape[0]
+    nblk = min((M + Ny + UNROLL - 2) // UNROLL, Ny // UNROLL)
+    kernel = functools.partial(
+        _kernel_profile_affine_moves, worst=worst, gap=gap, gopen=gopen,
+        ncodes=ncodes,
+    )
+    best, bestd, moves = pl.pallas_call(
+        kernel,
+        grid=(B // LANE, nblk),
+        in_specs=[
+            pl.BlockSpec((W, M, LANE), lambda b, o: (0, 0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ny, LANE), lambda b, o: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((M, LANE), lambda b, o: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, LANE), lambda b, o: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((UNROLL, M, LANE), lambda b, o: (o, 0, b), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, B), jnp.int32),
+            jax.ShapeDtypeStruct((M, B), jnp.int32),
+            jax.ShapeDtypeStruct((nblk * UNROLL, M, B), jnp.uint8),
+        ],
+        scratch_shapes=[pltpu.VMEM((M, LANE), jnp.int32)] * 7,
+        cost_estimate=pl.CostEstimate(
+            flops=33 * (M + Ny) * M * B, bytes_accessed=(M + Ny) * M * B,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(pprof, ycodes)
+    return best, bestd, moves
+
+
 def _kernel_profile_moves(pprof_ref, y_ref, best_ref, bestd_ref, moves_ref,
                           h1_s, s2_s, best_s, bestd_s, ywin_s,
                           *, worst: int, gap: int, ncodes: int = PROF_CODES):
@@ -843,10 +1028,15 @@ def _call_profile(pprof, ys, *, worst, best_sub, gap, interpret,
 # ---------------------------------------------------------------------------
 
 STRIP_S = 256  # rows per strip (multiple of 8)
-# Fused profile-moves kernel envelope: Mosaic's scoped-VMEM stack (select
-# tree temporaries x 8 unrolled steps) measured 17.91 MB at M=640 on v5e;
-# M = 512 compiles (verified on hardware).
+# Fused moves-kernel envelopes: Mosaic's scoped-VMEM stack holds the
+# unrolled per-step temporaries — the linear profile kernel measured
+# 17.91 MB at M=640 on v5e (> the 16.00 MB scoped limit; the compile
+# error names it) and compiles+verifies at M=512. The affine variants
+# carry more live state (E/F chains), so their envelopes are tighter;
+# all three bounds verified by hardware compiles.
 PROFILE_MOVES_MAX_M = 512
+AFFINE_MOVES_MAX_M = 1024
+PROFILE_AFFINE_MOVES_MAX_M = 384
 STRIP_S_PA = 128  # half-height strips for the VMEM-heavy profile-affine kernel
 STRIP_PADW = (STRIP_S - 2) % 8  # write offset making boundary stores aligned
 INT16_BOUND = 32000
@@ -2388,17 +2578,53 @@ class PallasEngine:
         reads). Returns PADDED arrays — 'score'/'i'/'j' of length Bpad and
         'moves' (Dpad, Mpad, Bpad) — plus 'B0'; pad lanes have i == 0
         (inactive for the walk)."""
-        if self.cfg.is_affine:
-            raise EnvelopeError(
-                "moves kernel emits linear-gap greedy codes; affine "
-                "traceback uses the scan engine's H/E/F move codes"
-            )
         x_bm = np.asarray(x_bm, np.uint8)
         y_bn = np.asarray(y_bn, np.uint8)
         if x_bm.shape[1] > MAX_M:
             raise EnvelopeError("moves kernel supports single-strip reads only")
         prep = self.prepare(x_bm, y_bn, m, n)
-        if self.cfg.is_uniform:
+        M_pad = prep["args"][0].shape[-2]
+        if self.cfg.is_affine:
+            # Fused affine (Gotoh) moves: H/E/F state codes in one pass
+            # (walk_moves_affine consumes them). VMEM envelopes measured
+            # on v5e like the linear profile kernel's (Mosaic scoped-stack
+            # holds the unrolled temporaries).
+            if self.cfg.is_uniform:
+                if M_pad > AFFINE_MOVES_MAX_M:
+                    raise EnvelopeError(
+                        f"uniform affine moves kernel at M={M_pad} exceeds "
+                        f"the scoped-VMEM envelope (M <= "
+                        f"{AFFINE_MOVES_MAX_M}); use scan emit_moves"
+                    )
+                best, bestd, moves = _call_uniform_affine_moves(
+                    *prep["args"],
+                    match=int(self.cfg.match),
+                    mismatch=int(self.cfg.mismatch),
+                    gap=int(self.cfg.gap_penalty),
+                    gopen=int(self.cfg.gap_open), interpret=self.interpret,
+                )
+                path = "affine_moves"
+            else:
+                if M_pad > PROFILE_AFFINE_MOVES_MAX_M:
+                    raise EnvelopeError(
+                        f"profile affine moves kernel at M={M_pad} exceeds "
+                        f"the scoped-VMEM envelope (M <= "
+                        f"{PROFILE_AFFINE_MOVES_MAX_M}); use scan "
+                        "emit_moves"
+                    )
+                xs, ys = prep["args"]
+                plut, elut = self._lut()
+                pprof = _profile_gather(jnp.asarray(xs), plut)
+                ycodes = _encode_y(jnp.asarray(ys), elut)
+                S = np.asarray(self.cfg.matrix).astype(np.int32)
+                best, bestd, moves = _call_profile_affine_moves(
+                    pprof, ycodes, worst=int(S.min()),
+                    gap=int(self.cfg.gap_penalty),
+                    gopen=int(self.cfg.gap_open), interpret=self.interpret,
+                    ncodes=self._ncodes(),
+                )
+                path = "profile_affine_moves"
+        elif self.cfg.is_uniform:
             best, bestd, moves = _call_uniform_moves(
                 *prep["args"],
                 match=int(self.cfg.match), mismatch=int(self.cfg.mismatch),
@@ -2413,7 +2639,6 @@ class PallasEngine:
             # temporaries of all 8 steps — measured 17.91 MB at M=640 on
             # v5e (> the 16.00 MB scoped limit; compile error names it),
             # so the envelope is M <= PROFILE_MOVES_MAX_M = 512.
-            M_pad = prep["args"][0].shape[0]
             if M_pad > PROFILE_MOVES_MAX_M:
                 raise EnvelopeError(
                     f"profile moves kernel at M={M_pad} exceeds the v5e "

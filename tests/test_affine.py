@@ -375,3 +375,46 @@ def test_chunked_affine(rng):
         assert g.score == w.score, read
         assert g.pos == w.pos, read
         assert g.consensus_x == w.consensus_x, read
+
+
+def test_affine_moves_kernel_traceback_matches_scan(rng):
+    """The fused single-strip AFFINE moves kernels (uniform and
+    packed-profile) must produce identical traceback results (pos +
+    consensus) to the scan engine's H/E/F emit_moves path, including gap
+    runs that exercise the E/F extend bits."""
+    import numpy as np
+
+    from parallel_genomeseq_tpu.models.swaligner import BatchSWAligner
+    from parallel_genomeseq_tpu.ops.substitution import blosum_config
+    from parallel_genomeseq_tpu.utils.config import ScoringConfig
+
+    for cfg, alpha in (
+        (ScoringConfig(match=3.0, mismatch=-3.0, gap_penalty=1.0,
+                       gap_open=4.0), list("ACGT")),
+        (blosum_config("blosum50", gap_penalty=2.0, gap_open=10.0),
+         list("ARNDCQEGHILKMFPSTWYV")),
+    ):
+        ref = "".join(rng.choice(alpha, 300))
+        reads = []
+        for nsub, nind in ((0, 0), (4, 0), (2, 3), (0, 6)):
+            s = int(rng.integers(0, 220))
+            read = list(ref[s : s + 64])
+            for _ in range(nsub):
+                read[int(rng.integers(0, len(read)))] = rng.choice(alpha)
+            for _ in range(nind):
+                p = int(rng.integers(1, len(read) - 1))
+                if rng.integers(0, 2):
+                    read.insert(p, rng.choice(alpha))
+                else:
+                    del read[p]
+            reads.append("".join(read))
+        reads.append("".join(rng.choice(alpha, 64)))  # background lane
+        want = BatchSWAligner(cfg, score_engine="scan").align_batch(
+            reads, [ref])
+        got = BatchSWAligner(cfg, score_engine="pallas").align_batch(
+            reads, [ref])
+        for k, (w, g) in enumerate(zip(want, got)):
+            assert g.score == w.score, (cfg.is_uniform, k)
+            assert g.pos == w.pos, (cfg.is_uniform, k)
+            assert g.consensus_x == w.consensus_x, (cfg.is_uniform, k)
+            assert g.consensus_y == w.consensus_y, (cfg.is_uniform, k)
