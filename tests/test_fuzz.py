@@ -1,0 +1,101 @@
+"""Randomized differential campaign: Pallas vs scan vs oracle.
+
+Each trial draws a random scoring config (uniform / substitution-matrix x
+linear / affine, random integral parameters), random ragged batch shapes,
+and compares PallasEngine (interpret) against ScanEngine on score/i/j,
+plus full traceback through BatchSWAligner against the numpy oracle on a
+couple of lanes. A small trial count runs in the default suite; set
+PGS_FUZZ_TRIALS for a long campaign (the round-5 soak ran 100+ trials).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from parallel_genomeseq_tpu.models.swaligner import BatchSWAligner
+from parallel_genomeseq_tpu.ops import oracle
+from parallel_genomeseq_tpu.ops.scan_dp import ScanEngine
+from parallel_genomeseq_tpu.ops.wavefront_pallas import PallasEngine
+from parallel_genomeseq_tpu.utils.config import ScoringConfig
+from parallel_genomeseq_tpu.utils.encoding import X_PAD, Y_PAD, batch_pad, to_bytes
+
+TRIALS = int(os.environ.get("PGS_FUZZ_TRIALS", 4))
+
+
+def _random_cfg(rng):
+    affine = bool(rng.integers(0, 2))
+    gopen = float(rng.integers(2, 12)) if affine else 0.0
+    gap = float(rng.integers(1, 8))
+    if rng.integers(0, 2):
+        return (
+            ScoringConfig(
+                match=float(rng.integers(1, 6)),
+                mismatch=-float(rng.integers(1, 6)),
+                gap_penalty=gap, gap_open=gopen,
+            ),
+            "ACGT",
+        )
+    A = int(rng.integers(4, 24))
+    alpha = "ARNDCQEGHILKMFPSTWYVBZX*"[:A]
+    mat = rng.integers(-6, 13, size=(A, A))
+    mat = ((mat + mat.T) // 2).astype(np.float64)
+    np.fill_diagonal(mat, rng.integers(1, 13, size=A))
+    # PallasEngine's documented mask-free precondition: the worst matrix
+    # entry must be strictly negative (a 120-trial campaign drew one
+    # all-non-negative 4x4 matrix and hit the engine's ValueError guard —
+    # working as designed; the fuzzer stays inside the engine envelope).
+    if mat.min() >= 0:
+        mat[0, -1] = mat[-1, 0] = -1.0
+    return ScoringConfig(matrix=mat, alphabet=alpha, gap_penalty=gap,
+                         gap_open=gopen), alpha
+
+
+@pytest.mark.parametrize("trial", range(TRIALS))
+def test_fuzz_pallas_vs_scan_vs_oracle(rng, trial):
+    rng = np.random.default_rng(rng.integers(0, 2**31) + trial)
+    cfg, alpha = _random_cfg(rng)
+    letters = list(alpha)
+    B = int(rng.integers(1, 13))
+    pairs = []
+    for _ in range(B):
+        m = int(rng.integers(1, 120))
+        n = int(rng.integers(1, 260))
+        x = "".join(rng.choice(letters, m))
+        y = "".join(rng.choice(letters, n))
+        # Half the lanes get a planted (mutated) overlap so scores are
+        # non-trivial and tracebacks have structure.
+        if n > 24 and rng.integers(0, 2):
+            s = int(rng.integers(0, n - 20))
+            seg = list(y[s : s + min(m, 60)])
+            for _ in range(int(rng.integers(0, 4))):
+                seg[int(rng.integers(0, len(seg)))] = rng.choice(letters)
+            x = ("".join(seg) + x)[:m]
+        pairs.append((x, y))
+    M = max(len(x) for x, _ in pairs)
+    N = max(len(y) for _, y in pairs)
+    xs = batch_pad([to_bytes(x) for x, _ in pairs], M, X_PAD)
+    ys = batch_pad([to_bytes(y) for _, y in pairs], N, Y_PAD)
+    m = np.array([len(x) for x, _ in pairs], np.int32)
+    n = np.array([len(y) for _, y in pairs], np.int32)
+
+    got = PallasEngine(cfg).score_batch(xs, ys, m, n)
+    want = ScanEngine(cfg).score_batch(xs, ys, m, n)
+    for k in ("score", "i", "j"):
+        np.testing.assert_array_equal(
+            np.asarray(got[k]), np.asarray(want[k]),
+            err_msg=f"trial {trial} field {k} cfg uniform={cfg.is_uniform} "
+            f"affine={cfg.is_affine}",
+        )
+
+    # Traceback on two lanes vs the dense-matrix oracle.
+    al = BatchSWAligner(cfg, score_engine="pallas")
+    lanes = sorted({0, B - 1})
+    res = al.align_batch([pairs[k][0] for k in lanes],
+                         [pairs[k][1] for k in lanes])
+    for k, r in zip(lanes, res):
+        w = oracle.align(pairs[k][0], pairs[k][1], cfg)
+        assert r.score == w.score, (trial, k)
+        assert r.pos == w.pos, (trial, k)
+        assert r.consensus_x == w.consensus_x, (trial, k)
+        assert r.consensus_y == w.consensus_y, (trial, k)
