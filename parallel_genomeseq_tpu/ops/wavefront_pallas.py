@@ -3178,22 +3178,24 @@ class PallasEngine:
 
     def score_repeated(self, prep, K: int):
         """K back-to-back kernel executions in ONE device dispatch (see
-        _make_repeat): the on-device benchmarking loop. Returns a scalar
-        device array whose value depends on every iteration (fetch it to
-        sync). Single-strip modes only; prep should be device-resident
+        _make_repeat): the on-device benchmarking loop, covering all eight
+        kernel families (uniform/profile x linear/affine x single/strips).
+        Returns a scalar device array whose value depends on every
+        iteration (fetch it to sync). prep should be device-resident
         (prepare(..., device=True)) so no host transfer is timed."""
-        if prep.get("strips"):
-            raise ValueError("score_repeated is single-strip only")
         args = prep["args"]
+        strips = bool(prep.get("strips"))
         if self.cfg.is_uniform:
             kw = dict(match=int(self.cfg.match),
                       mismatch=int(self.cfg.mismatch),
                       gap=int(self.cfg.gap_penalty),
                       interpret=self.interpret)
             if self.cfg.is_affine:
-                return _repeat_call(_call_uniform_affine, *args, K,
+                fn = _call_strips_affine if strips else _call_uniform_affine
+                return _repeat_call(fn, *args, K,
                                     gopen=int(self.cfg.gap_open), **kw)
-            return _repeat_call(_call_uniform, *args, K, **kw)
+            fn = _call_strips if strips else _call_uniform
+            return _repeat_call(fn, *args, K, **kw)
         if args[0].ndim == 2:
             plut, elut = self._lut()
             args = [_profile_gather(args[0], plut), _encode_y(args[1], elut)]
@@ -3202,6 +3204,9 @@ class PallasEngine:
                   gap=int(self.cfg.gap_penalty), interpret=self.interpret,
                   ncodes=self._ncodes())
         if self.cfg.is_affine:
-            return _repeat_call(_call_profile_affine, *args, K,
+            fn = (_call_strips_profile_affine if strips
+                  else _call_profile_affine)
+            return _repeat_call(fn, *args, K,
                                 gopen=int(self.cfg.gap_open), **kw)
-        return _repeat_call(_call_profile, *args, K, **kw)
+        fn = _call_strips_profile if strips else _call_profile
+        return _repeat_call(fn, *args, K, **kw)

@@ -339,3 +339,33 @@ def test_profile_moves_kernel_traceback_matches_scan(rng):
         assert g.pos == w.pos, k
         assert g.consensus_x == w.consensus_x, k
         assert g.consensus_y == w.consensus_y, k
+
+
+def test_score_repeated_strips(rng):
+    """score_repeated covers the strip kernels too (the long-read
+    on-device benchmarking loop): at K=1 the accumulated scalar equals the
+    max lane score of the plain strips dispatch, uniform and profile."""
+    from parallel_genomeseq_tpu.ops.substitution import blosum_config
+    from parallel_genomeseq_tpu.ops.wavefront_pallas import MAX_M
+
+    for cfg in (
+        ScoringConfig(),
+        blosum_config("blosum50", gap_penalty=2.0, gap_open=10.0),
+    ):
+        eng = PallasEngine(cfg)
+        alpha = cfg.alphabet or "ACGT"
+        B, M, N = 4, MAX_M + 8, 96
+        xs = batch_pad(
+            [to_bytes("".join(rng.choice(list(alpha), M)))] * B, M, X_PAD
+        )
+        ys = batch_pad(
+            [to_bytes("".join(rng.choice(list(alpha), N))) for _ in range(B)],
+            N, Y_PAD,
+        )
+        m = np.full(B, M, np.int32)
+        n = np.full(B, N, np.int32)
+        prep = eng.prepare(xs, ys, m, n, device=True)
+        assert prep["strips"]
+        acc1 = int(np.asarray(eng.score_repeated(prep, 1)))
+        base = int(np.asarray(eng.score_prepared(prep)["score"]).max())
+        assert acc1 == base
