@@ -450,10 +450,10 @@ def main(argv=None):
                     yield [entries[k][1] for k in chunk]
 
             try:
-                for chunk, res_tb in zip(
+                for ci, (chunk, res_tb) in enumerate(zip(
                     tb_chunks,
                     bat.align_stream(tb_batches(), [query], traceback=True),
-                ):
+                )):
                     for k, r in zip(chunk, res_tb):
                         if int(r.score) != results[k][0]:
                             raise RuntimeError(
@@ -462,6 +462,9 @@ def main(argv=None):
                                 f"{int(r.score)} != {results[k][0]}"
                             )
                         tb_rows[k] = (r.pos, r.consensus_x, r.consensus_y)
+                    if (ci + 1) % 32 == 0 or ci + 1 == len(tb_chunks):
+                        print(f"traceback: {len(tb_rows)}/{len(tb_idx)}",
+                              flush=True)
             except ValueError as e:
                 # e.g. a shape whose move tensor cannot fit even at 1 lane;
                 # keep the score-only rows rather than failing the whole run.
