@@ -33,6 +33,13 @@ def add_scoring_flags(p: argparse.ArgumentParser):
         default=Semantics.EXACT_INT32.value,
         help="DP value semantics (sat_uint8 matches the reference AVX2 path)",
     )
+    p.add_argument(
+        "--matrix", default="uniform",
+        choices=["uniform", "blosum50", "blosum62"],
+        help="substitution-matrix scoring (runs on the Pallas fast path — "
+        "the reference's AVX2 kernel cannot, similaritymatrix.cpp:389-392); "
+        "uniform uses --match/--mismatch",
+    )
 
 
 def add_chunk_flags(p: argparse.ArgumentParser, npiece_default: int):
@@ -55,6 +62,14 @@ def add_platform_flags(p: argparse.ArgumentParser):
 
 
 def scoring_from_args(args) -> ScoringConfig:
+    mname = getattr(args, "matrix", "uniform")
+    if mname and mname != "uniform":
+        from ..ops.substitution import blosum_config
+
+        return blosum_config(
+            mname, gap_penalty=args.gap_penalty,
+            gap_open=getattr(args, "gap_open", 0.0),
+        )
     return ScoringConfig(
         match=args.match, mismatch=args.mismatch, gap_penalty=args.gap_penalty,
         gap_open=getattr(args, "gap_open", 0.0),

@@ -170,3 +170,45 @@ def test_serve_protein_db_scan(tmp_path, rng):
         if proc.poll() is None:
             proc.kill()
             proc.wait()
+
+
+def test_serve_protein_align_matrix(tmp_path, rng):
+    """--matrix blosum50 turns the align op into a protein aligner (full
+    traceback serving with substitution-matrix scoring — the reference's
+    fast path cannot do matrix scoring at all)."""
+    from parallel_genomeseq_tpu.cli.serve import request, wait_ready
+    from parallel_genomeseq_tpu.models.swaligner import BatchSWAligner
+    from parallel_genomeseq_tpu.ops.substitution import blosum_config
+
+    alpha = list("ARNDCQEGHILKMFPSTWYV")
+    ref = "".join(rng.choice(alpha, 400))
+    ref_fa = tmp_path / "pref.fa"
+    ref_fa.write_text(f">p\n{ref}\n")
+    sock = str(tmp_path / "pgs_prot.sock")
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "parallel_genomeseq_tpu.cli.serve",
+            "--socket", sock, "--ref", str(ref_fa), "--platform", "cpu",
+            "--warm-read-len", "0", "--batch-size", "8",
+            "--matrix", "blosum50", "--gap-penalty", "2", "--gap-open", "10",
+        ],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+    try:
+        wait_ready(sock, timeout=240.0)
+        queries = ["".join(rng.choice(alpha, 40)) for _ in range(3)]
+        queries[0] = ref[100:140]  # planted exact hit
+        rep = request(sock, {"op": "align", "reads": queries})
+        assert rep["ok"], rep
+        cfg = blosum_config("blosum50", gap_penalty=2.0, gap_open=10.0)
+        want = BatchSWAligner(cfg).align_batch(queries, [ref])
+        for g, w in zip(rep["results"], want):
+            assert g["score"] == w.score
+            assert g["pos"] == w.pos
+            assert g["consensus_x"] == w.consensus_x
+        request(sock, {"op": "shutdown"})
+        proc.wait(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
