@@ -245,7 +245,7 @@ def uniprot_e2e(db_path="data/uniprot_syn/database.fasta", scans=3):
     # pad_mult=128 measured best (2026-08-21 sweep on this DB: 55.8 GCUPS
     # warm vs 47.8 at 512 — less padded window compute; see CLAUDE.md).
     db = ResidentProteinDB(entries, matrix="blosum50", gap_penalty=12.0,
-                           gap_open=0.0, batch_size=8192, pad_mult=128)
+                           gap_open=0.0, batch_size=4096, pad_mult=128)
     _, _, wall_cold = db.scan_scores(query)  # per-shape program loads
     wall = min(db.scan_scores(query)[2] for _ in range(max(scans, 1)))
     cells = len(query) * sum(len(e[1]) for e in entries)

@@ -341,7 +341,7 @@ def main(argv=None):
                    choices=["blosum50", "blosum62"])
     p.add_argument("--db-gap-open", type=float, default=10.0)
     p.add_argument("--db-gap-extend", type=float, default=2.0)
-    p.add_argument("--db-batch-size", type=int, default=8192)
+    p.add_argument("--db-batch-size", type=int, default=4096)
     p.add_argument("--db-pad-mult", type=int, default=128)
     p.add_argument(
         "--db-max-query-len", type=int, default=0,

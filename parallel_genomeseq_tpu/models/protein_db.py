@@ -28,7 +28,10 @@ def _round_up(v, mult):
     return ((v + mult - 1) // mult) * mult
 
 
-GK = 8  # max batches per scan-group dispatch
+GK = 16  # max batches per scan-group dispatch (swept with batch_size:
+# B=4096/GK=16 measured 62.5 GCUPS warm vs 60.6 at B=8192/GK=8 on the
+# 561k DB, 2026-08-21 — tighter length buckets cut padding and the
+# larger groups hold the dispatch count)
 
 # The reference writer's per-row schema (mpi_sw_solve_uniprot.cpp:151-186):
 # one row per database entry, traceback columns empty unless walked.
@@ -123,7 +126,7 @@ class ResidentProteinDB:
     """
 
     def __init__(self, entries: List[Tuple[str, str]], matrix="blosum50",
-                 gap_penalty=2.0, gap_open=10.0, batch_size=8192,
+                 gap_penalty=2.0, gap_open=10.0, batch_size=4096,
                  pad_mult=128, max_query_len=None):
         # pad_mult=128 measured best on the 561k SwissProt-scale DB
         # (2026-08-21 sweep: 0.518 s warm / 55.8 GCUPS vs 0.605 s / 47.8 at
