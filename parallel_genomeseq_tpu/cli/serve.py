@@ -20,6 +20,14 @@ Protocol: newline-delimited JSON, one object per line, one reply per request.
       -> {"ok": true, "results": [{"score": s, "pos": p, "max_i": i,
           "max_j": j, "consensus_x": "...", "consensus_y": "..."}, ...],
           "wall_s": 0.012}
+  {"op": "scan_db", "query": "MKT...",  # or client-side --query path
+   "top": 10,             # optional: top-K hits inline
+   "traceback": true,     # optional: add pos_pred/consensus to the hits
+   "output": "/p.csv"}    # optional: write the full all-rows CSV
+                          # server-side (byte-identical to solve_uniprot
+                          # with traceback disabled)
+      -> {"ok": true, "hits": [{"name": ..., "len": ..., "score": ...,
+          "pos_end": ...}, ...], "gcups": ..., "wall_s": ...}
   {"op": "shutdown"}
       -> {"ok": true} and the server exits.
 
