@@ -64,6 +64,14 @@ def add_platform_flags(p: argparse.ArgumentParser):
 def scoring_from_args(args) -> ScoringConfig:
     mname = getattr(args, "matrix", "uniform")
     if mname and mname != "uniform":
+        if Semantics(args.semantics) != Semantics.EXACT_INT32:
+            # Don't silently drop the user's semantics request: sat_uint8
+            # is the uniform-scoring reference-parity mode only.
+            raise SystemExit(
+                "--matrix supports exact_int32 semantics only "
+                "(--semantics sat_uint8 is the uniform-scoring AVX2 "
+                "parity mode)"
+            )
         from ..ops.substitution import blosum_config
 
         return blosum_config(

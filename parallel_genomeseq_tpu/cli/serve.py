@@ -207,59 +207,56 @@ class AlignServer:
                 return {"ok": False, "error": "query must be a non-empty "
                         "protein string"}
             out_path = req.get("output") or ""
+            import numpy as np
+
+            db = self.protein_db
             try:
-                if out_path:
-                    # Whole-result serving: score EVERY entry and write the
-                    # full CSV server-side (the reference writer's all-rows
-                    # output, mpi_sw_solve_uniprot.cpp:151-186) — identical
-                    # rows/columns to solve_uniprot with traceback disabled,
-                    # so whole-result consumers can point at either.
-                    import numpy as np
-
-                    from ..models.protein_db import write_uniprot_csv
-
-                    db = self.protein_db
-                    scores, pos, wall = db.scan_scores(q)
-                    cells = len(q) * sum(len(s) for s in db._seqs)
-                    gcups = cells / wall / 1e9 if wall else 0.0
-                    ranked = np.argsort(
-                        -scores, kind="stable"
-                    )[: max(int(req.get("top", 10)), 0)]
-                    hits = [
-                        (db.entries[k][0], len(db._seqs[k]), int(scores[k]),
-                         int(pos[k]))
-                        for k in ranked
-                    ]
-                    write_uniprot_csv(out_path, db.entries, scores, pos)
-                else:
-                    hits, wall, gcups = self.protein_db.scan(
-                        q, top=int(req.get("top", 10))
-                    )
+                scores, pos, wall = db.scan_scores(q)
             except ValueError as e:
                 return {"ok": False, "error": str(e)}
+            cells = len(q) * sum(len(s) for s in db._seqs)
+            gcups = cells / wall / 1e9 if wall else 0.0
+            # ranked holds ENTRY INDICES end-to-end (names can collide in a
+            # FASTA; resolving hits by name would re-align the wrong entry).
+            ranked = [int(k) for k in np.argsort(-scores, kind="stable")
+                      [: max(int(req.get("top", 10)), 0)]]
+            if out_path:
+                # Whole-result serving: the full all-rows CSV server-side
+                # (the reference writer's output,
+                # mpi_sw_solve_uniprot.cpp:151-186) — identical
+                # rows/columns to solve_uniprot with traceback disabled,
+                # so whole-result consumers can point at either.
+                from ..models.protein_db import write_uniprot_csv
+
+                write_uniprot_csv(out_path, db.entries, scores, pos)
             reply = {
                 "ok": True,
                 "wall_s": round(wall, 6),
                 "gcups": round(gcups, 2),
-                "n_entries": len(self.protein_db.entries),
+                "n_entries": len(db.entries),
                 "hits": [
-                    {"name": n, "len": l, "score": sc, "pos_end": pe}
-                    for n, l, sc, pe in hits
+                    {"name": db.entries[k][0], "len": len(db._seqs[k]),
+                     "score": int(scores[k]), "pos_end": int(pos[k])}
+                    for k in ranked
                 ],
             }
-            if bool(req.get("traceback", False)) and hits:
+            if bool(req.get("traceback", False)) and ranked:
                 # Serve the CLI's --traceback-top columns too: re-run the
                 # top-K winners through the full aligner in the reference
                 # writer's x=entry/y=query roles (pos_pred = position in
-                # the query, consensus strings).
+                # the query, consensus strings). pad_m=128 bounds the
+                # number of compiled shapes across requests (each new
+                # shape costs a program load — minutes on a remote-tunnel
+                # TPU).
                 from ..models.swaligner import BatchSWAligner
 
                 if self._protein_bat is None:
-                    self._protein_bat = BatchSWAligner(self.protein_db.cfg)
-                by_name = dict(self.protein_db.entries)
+                    self._protein_bat = BatchSWAligner(
+                        self.protein_db.cfg, pad_m=128
+                    )
                 res_tb = self._protein_bat.align_batch(
-                    [by_name[h["name"]] for h in reply["hits"]],
-                    [q] * len(reply["hits"]), traceback=True,
+                    [db.entries[k][1] for k in ranked],
+                    [q] * len(ranked), traceback=True,
                 )
                 for h, r in zip(reply["hits"], res_tb):
                     if int(r.score) != h["score"]:
@@ -272,7 +269,7 @@ class AlignServer:
                     h["consensus_y"] = r.consensus_y
             if out_path:
                 reply["output"] = out_path
-                reply["n_rows"] = len(self.protein_db.entries)
+                reply["n_rows"] = len(db.entries)
             return reply
         if op == "shutdown":
             return {"ok": True, "_shutdown": True}
@@ -367,6 +364,11 @@ def main(argv=None):
     )
     p.add_argument("--query", default="", help="client scan_db: query "
                    "protein string or FASTA path")
+    p.add_argument("--top", type=int, default=10,
+                   help="client scan_db: top-K hits to return inline")
+    p.add_argument("--traceback", action="store_true",
+                   help="client scan_db: include the reference writer's "
+                   "pos_pred/consensus columns in the hits")
     common.add_scoring_flags(p)
     common.add_chunk_flags(p, npiece_default=1)
     common.add_platform_flags(p)
@@ -408,7 +410,8 @@ def main(argv=None):
                 # A mistyped path must error here, not be silently scored
                 # as a literal residue string.
                 q = read_fasta(q)
-            req_obj = {"op": "scan_db", "query": q}
+            req_obj = {"op": "scan_db", "query": q, "top": args.top,
+                       "traceback": args.traceback}
             if args.output:
                 # Whole-result mode: the server writes every row's CSV
                 # server-side (top-K still comes back inline).

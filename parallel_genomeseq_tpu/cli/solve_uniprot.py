@@ -431,10 +431,10 @@ def main(argv=None):
                 take = min(TB_B, len(tb_idx) - s0)
                 while take > 1:
                     # max over the chunk (tb_idx is length-sorted in
-                    # --traceback-all mode but rank-ordered for top-K).
+                    # --traceback-all mode but rank-ordered for top-K);
+                    # ASCII sequences, so len(str) == byte length.
                     Mb = _round_up(max(
-                        len(to_bytes(entries[k][1]))
-                        for k in tb_idx[s0 : s0 + take]
+                        len(entries[k][1]) for k in tb_idx[s0 : s0 + take]
                     ), 128)
                     if (Mb + Nq) * Mb * take <= MOVES_BUDGET:
                         break
@@ -442,6 +442,11 @@ def main(argv=None):
                         1,
                         min(take - 1, MOVES_BUDGET // ((Mb + Nq) * Mb)),
                     )
+                    # Round lane counts to a coarse granule so the
+                    # budget-bound tail produces few compiled (M, B)
+                    # shapes (each new shape is a program load).
+                    granule = 128 if take >= 128 else 32 if take >= 32 else 1
+                    take = max(1, take - take % granule)
                 tb_chunks.append(tb_idx[s0 : s0 + take])
                 s0 += take
 

@@ -5,7 +5,13 @@ linear / affine, random integral parameters), random ragged batch shapes,
 and compares PallasEngine (interpret) against ScanEngine on score/i/j,
 plus full traceback through BatchSWAligner against the numpy oracle on a
 couple of lanes. A small trial count runs in the default suite; set
-PGS_FUZZ_TRIALS for a long campaign (the round-5 soak ran 100+ trials).
+PGS_FUZZ_TRIALS for a long campaign. SHARD long campaigns across
+processes (~125 trials each): every trial compiles fresh program shapes,
+and a single-process 250-trial soak segfaulted at trial ~217 inside
+JAX's compilation-cache write (jax/_src/compilation_cache.py
+put_executable_and_time, native zstd) under the accumulated-executable
+memory pressure — an upstream failure mode, not a kernel one; the same
+250 trials split 120+130 across two processes pass clean.
 """
 
 import os
@@ -21,6 +27,9 @@ from parallel_genomeseq_tpu.utils.config import ScoringConfig
 from parallel_genomeseq_tpu.utils.encoding import X_PAD, Y_PAD, batch_pad, to_bytes
 
 TRIALS = int(os.environ.get("PGS_FUZZ_TRIALS", 4))
+# Offset the per-trial seeds so sharded campaigns explore DISTINCT trials
+# (e.g. shard 0: PGS_FUZZ_SEED=0, shard 1: PGS_FUZZ_SEED=1000).
+SEED_OFFSET = int(os.environ.get("PGS_FUZZ_SEED", 0))
 
 
 def _random_cfg(rng):
@@ -53,7 +62,9 @@ def _random_cfg(rng):
 
 @pytest.mark.parametrize("trial", range(TRIALS))
 def test_fuzz_pallas_vs_scan_vs_oracle(rng, trial):
-    rng = np.random.default_rng(rng.integers(0, 2**31) + trial)
+    rng = np.random.default_rng(
+        int(rng.integers(0, 2**31)) + trial + SEED_OFFSET
+    )
     cfg, alpha = _random_cfg(rng)
     letters = list(alpha)
     B = int(rng.integers(1, 13))
